@@ -1,0 +1,3 @@
+from .keygen import generate_keypair
+from .keys import KeyPair, PrivateKey, PublicKey
+from .texts import BaseText, CipherText, PlainText

@@ -1,0 +1,221 @@
+"""Per-key device engines: codec + batch padding + jitted pipeline dispatch.
+
+The engine owns the precomputed device constants for one key (the analog of
+the per-key state the reference precomputes in PublicKey/PrivateKey ctors,
+ipcl/pub_key.cpp:18-49 and ipcl/pri_key.cpp:13-37) and converts between host
+Python ints and fixed-shape limb tensors around every batched call.
+
+Batch sizes are padded to the next power of two so the number of jit
+specializations stays bounded (the TPU analog of the reference's chunks-of-8
+padding policy, ipcl/mod_exp.cpp:480-516).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import paillier_ops as pops
+from ..ops.limbs import (
+    LIMB_BITS,
+    ints_to_limbs,
+    ints_to_windows,
+    limbs_for_bits,
+    limbs_to_ints,
+    max_bitlength,
+    num_windows,
+)
+from ..ops.montgomery import MontConstants
+
+
+def _pad_batch(xs: List[int], fill: int) -> List[int]:
+    """Pad a batch to the next power of two with ``fill`` values."""
+    n = len(xs)
+    target = 1 << max(0, (n - 1).bit_length())
+    return xs + [fill] * (target - n)
+
+
+def _round_windows(nw: int) -> int:
+    """Round a window count up to a multiple of 8 (bounds jit variants)."""
+    return max(8, -(-nw // 8) * 8)
+
+
+class PublicEngine:
+    """Device pipelines for one public key."""
+
+    def __init__(self, n: int, bits: int, hs: Optional[int], randbits: int):
+        self.n = n
+        self.nbits = n.bit_length()
+        self.nsquare = n * n
+        self.Ln = limbs_for_bits(self.nbits)
+        self.mont_n2 = MontConstants.create(self.nsquare, 2 * self.nbits)
+        self.L2 = self.mont_n2.num_limbs
+        self.n_limbs = jnp.asarray(ints_to_limbs([n], self.Ln)[0])
+        self.n2_args = self.mont_n2.as_device_args()  # (n, n0inv, r2, one)
+        # shared exponent n as windows for the normal obfuscator r^n mod n^2
+        self.n_wins = jnp.asarray(ints_to_windows([n], self.nbits))
+        self.randbits = randbits
+        self.hs_limbs = (
+            jnp.asarray(ints_to_limbs([hs], self.L2)[0]) if hs is not None else None
+        )
+
+    def set_hs(self, hs: int) -> None:
+        self.hs_limbs = jnp.asarray(ints_to_limbs([hs], self.L2)[0])
+
+    # -- pipelines ----------------------------------------------------------
+
+    def encrypt_djn(self, m: Sequence[int], r: Sequence[int]) -> List[int]:
+        size = len(m)
+        m_p = _pad_batch(list(m), 0)
+        r_p = _pad_batch(list(r), 0)
+        ebits = max(self.randbits, max_bitlength(r_p))
+        nw = _round_windows(num_windows(ebits))
+        m_a = jnp.asarray(ints_to_limbs(m_p, self.Ln))
+        r_w = jnp.asarray(ints_to_windows(r_p, nw * 4))
+        n2_n, n2_n0inv, n2_r2, n2_one = self.n2_args
+        out = pops.encrypt_djn_op(
+            m_a, r_w, self.n_limbs, n2_n, n2_n0inv, n2_r2, n2_one, self.hs_limbs
+        )
+        return limbs_to_ints(np.asarray(out))[:size]
+
+    def encrypt_normal(self, m: Sequence[int], r: Sequence[int]) -> List[int]:
+        size = len(m)
+        m_p = _pad_batch(list(m), 0)
+        r_p = _pad_batch(list(r), 1)
+        m_a = jnp.asarray(ints_to_limbs(m_p, self.Ln))
+        r_a = jnp.asarray(ints_to_limbs(r_p, self.L2))
+        n2_n, n2_n0inv, n2_r2, n2_one = self.n2_args
+        out = pops.encrypt_normal_op(
+            m_a, r_a, self.n_wins, self.n_limbs, n2_n, n2_n0inv, n2_r2, n2_one
+        )
+        return limbs_to_ints(np.asarray(out))[:size]
+
+    def encrypt_noobf(self, m: Sequence[int]) -> List[int]:
+        size = len(m)
+        m_p = _pad_batch(list(m), 0)
+        m_a = jnp.asarray(ints_to_limbs(m_p, self.Ln))
+        out = pops.encrypt_noobf_op(m_a, self.n_limbs, self.n2_args[0])
+        return limbs_to_ints(np.asarray(out))[:size]
+
+    def add_ctct(self, a: Sequence[int], b: Sequence[int]) -> List[int]:
+        size = len(a)
+        a_a = jnp.asarray(ints_to_limbs(_pad_batch(list(a), 0), self.L2))
+        b_a = jnp.asarray(ints_to_limbs(_pad_batch(list(b), 0), self.L2))
+        n2_n, n2_n0inv, n2_r2, _ = self.n2_args
+        out = pops.add_ctct_op(a_a, b_a, n2_n, n2_n0inv, n2_r2)
+        return limbs_to_ints(np.asarray(out))[:size]
+
+    def mul_ctpt(self, ct: Sequence[int], pt: Sequence[int]) -> List[int]:
+        size = len(ct)
+        ct_p = _pad_batch(list(ct), 1)
+        pt_p = _pad_batch(list(pt), 0)
+        nw = _round_windows(num_windows(max_bitlength(pt_p)))
+        ct_a = jnp.asarray(ints_to_limbs(ct_p, self.L2))
+        pt_w = jnp.asarray(ints_to_windows(pt_p, nw * 4))
+        n2_n, n2_n0inv, n2_r2, n2_one = self.n2_args
+        out = pops.mul_ctpt_op(ct_a, pt_w, n2_n, n2_n0inv, n2_r2, n2_one)
+        return limbs_to_ints(np.asarray(out))[:size]
+
+
+class PrivateEngine:
+    """Device pipelines for one private key (CRT + RAW decrypt)."""
+
+    def __init__(self, n: int, p: int, q: int, lam: int, x: int, hp: int, hq: int):
+        assert p < q
+        self.n = n
+        self.nbits = n.bit_length()
+        pbits = max(p.bit_length(), q.bit_length())
+        self.Lp = limbs_for_bits(pbits)
+        self.mont_p2 = MontConstants.create(p * p, 2 * pbits)
+        self.mont_q2 = MontConstants.create(q * q, 2 * pbits)
+        self.Lp2 = self.mont_p2.num_limbs
+        assert self.mont_q2.num_limbs == self.Lp2
+        self.mont_p = MontConstants.create(p, pbits)
+        self.mont_q = MontConstants.create(q, pbits)
+        assert self.mont_q.num_limbs == self.Lp
+
+        def stack(attr_p, attr_q):
+            return jnp.asarray(np.stack([attr_p, attr_q]))
+
+        self.sq_n = stack(self.mont_p2.n_limbs, self.mont_q2.n_limbs)
+        self.sq_n0inv = jnp.asarray(
+            np.array([self.mont_p2.n0inv, self.mont_q2.n0inv], np.uint32)
+        )
+        self.sq_r2 = stack(self.mont_p2.r2_limbs, self.mont_q2.r2_limbs)
+        self.sq_one = stack(self.mont_p2.one_limbs, self.mont_q2.one_limbs)
+        ewbits = _round_windows(num_windows(pbits)) * 4
+        self.exp_wins = jnp.asarray(
+            np.stack(
+                [ints_to_windows([p - 1], ewbits), ints_to_windows([q - 1], ewbits)]
+            )
+        )  # [2, 1, NW]
+        R_lp = 1 << (LIMB_BITS * self.Lp)
+        self.hensel = stack(
+            ints_to_limbs([pow(p, -1, R_lp)], self.Lp)[0],
+            ints_to_limbs([pow(q, -1, R_lp)], self.Lp)[0],
+        )
+        self.hfun = stack(
+            ints_to_limbs([hp], self.Lp)[0], ints_to_limbs([hq], self.Lp)[0]
+        )
+        self.pq_n = stack(self.mont_p.n_limbs, self.mont_q.n_limbs)
+        self.pq_n0inv = jnp.asarray(
+            np.array([self.mont_p.n0inv, self.mont_q.n0inv], np.uint32)
+        )
+        self.pq_r2 = stack(self.mont_p.r2_limbs, self.mont_q.r2_limbs)
+        self.pinv_q = jnp.asarray(ints_to_limbs([pow(p, -1, q)], self.Lp)[0])
+        self.p_limbs = jnp.asarray(ints_to_limbs([p], self.Lp)[0])
+
+        # RAW-mode constants (lambda exponent over n^2, then L-function by n)
+        self.mont_n2 = MontConstants.create(n * n, 2 * self.nbits)
+        self.mont_n = MontConstants.create(n, self.nbits)
+        self.Ln = self.mont_n.num_limbs
+        lam_bits = _round_windows(num_windows(self.nbits)) * 4
+        self.lam_wins = jnp.asarray(ints_to_windows([lam], lam_bits))
+        R_ln = 1 << (LIMB_BITS * self.Ln)
+        self.hensel_n = jnp.asarray(ints_to_limbs([pow(n, -1, R_ln)], self.Ln)[0])
+        self.x_limbs = jnp.asarray(ints_to_limbs([x], self.Ln)[0])
+
+    def decrypt_crt(self, ct: Sequence[int]) -> List[int]:
+        size = len(ct)
+        ct_a = jnp.asarray(ints_to_limbs(_pad_batch(list(ct), 1), 2 * self.Lp2))
+        out = pops.decrypt_crt_op(
+            ct_a,
+            self.sq_n,
+            self.sq_n0inv,
+            self.sq_r2,
+            self.sq_one,
+            self.exp_wins,
+            self.hensel,
+            self.hfun,
+            self.pq_n,
+            self.pq_n0inv,
+            self.pq_r2,
+            self.pinv_q,
+            self.p_limbs,
+        )
+        return limbs_to_ints(np.asarray(out))[:size]
+
+    def decrypt_raw(self, ct: Sequence[int]) -> List[int]:
+        size = len(ct)
+        ct_a = jnp.asarray(
+            ints_to_limbs(_pad_batch(list(ct), 1), self.mont_n2.num_limbs)
+        )
+        n2_n, n2_n0inv, n2_r2, n2_one = self.mont_n2.as_device_args()
+        n_n, n_n0inv, n_r2, _ = self.mont_n.as_device_args()
+        out = pops.decrypt_raw_op(
+            ct_a,
+            self.lam_wins,
+            n2_n,
+            n2_n0inv,
+            n2_r2,
+            n2_one,
+            self.hensel_n,
+            self.x_limbs,
+            n_n,
+            n_n0inv,
+            n_r2,
+        )
+        return limbs_to_ints(np.asarray(out))[:size]

@@ -1,0 +1,1 @@
+from . import bigint, limbs, montgomery, paillier_ops

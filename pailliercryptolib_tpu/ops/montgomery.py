@@ -253,14 +253,19 @@ def mont_exp(
 
     a = mont_mul(base, r2, n, n0inv)  # to Montgomery form, < 2n
     one_b = jnp.broadcast_to(mont_one, batch_shape + (L,))
-    a_b = jnp.broadcast_to(a, batch_shape + (L,))
+    # Build the power table at the *base's* batch shape: a shared base (e.g.
+    # the DJN hs, ipcl/pub_key.cpp:51-64) gets one table for the whole batch.
+    # Left-pad the base's batch dims with 1s so the later one-hot select
+    # broadcasts correctly against the full batch shape.
+    a = a.reshape((1,) * (len(batch_shape) - (a.ndim - 1)) + a.shape)
+    one_t = jnp.broadcast_to(mont_one, a.shape)
 
     def table_step(prev, _):
-        nxt = mont_mul(prev, a_b, n, n0inv)
+        nxt = mont_mul(prev, a, n, n0inv)
         return nxt, nxt
 
-    _, powers = jax.lax.scan(table_step, one_b, None, length=(1 << WINDOW_BITS) - 1)
-    table = jnp.concatenate([one_b[None], powers], axis=0)  # [16, ..., L]
+    _, powers = jax.lax.scan(table_step, one_t, None, length=(1 << WINDOW_BITS) - 1)
+    table = jnp.concatenate([one_t[None], powers], axis=0)  # [16, *base_batch, L]
 
     def body(k, acc):
         for _ in range(WINDOW_BITS):

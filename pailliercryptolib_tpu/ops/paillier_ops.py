@@ -1,0 +1,173 @@
+"""Jitted device pipelines for the Paillier scheme.
+
+Each function is a pure, batched program over uint32 limb tensors; jit
+specializations are shared across keys of the same bit size (constants are
+traced arguments, not closure captures).  These pipelines replace the
+reference's per-op OpenMP loops + modExp dispatch:
+
+* ``encrypt_djn_op`` / ``encrypt_normal_op``  <- ipcl/pub_key.cpp:51-110
+* ``decrypt_crt_op``                          <- ipcl/pri_key.cpp:114-152
+* ``decrypt_raw_op``                          <- ipcl/pri_key.cpp:92-111
+* ``add_ctct_op``                             <- ipcl/ciphertext.cpp:135-141
+* ``mul_ctpt_op``                             <- ipcl/ciphertext.cpp:143-162
+
+The CRT decrypt runs both half-width residue systems as one vmapped program
+(a leading axis of size 2), the TPU analog of the reference's two
+``mbx_exp_mb8`` batches (SURVEY.md §2.4 item 5).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .bigint import (
+    add_scalar,
+    mod_fold,
+    mul_low,
+    mul_shared,
+    sub_mod,
+    sub_scalar,
+)
+from .montgomery import (
+    canonicalize,
+    cond_sub_n,
+    mont_exp,
+    mont_mod_mul,
+    mont_mul,
+)
+
+_U32 = jnp.uint32
+
+
+# ---------------------------------------------------------------------------
+# encryption
+# ---------------------------------------------------------------------------
+
+
+def _raw_encrypt(m, n_limbs, L2):
+    """ct = n*m + 1 (no reduction needed: m < n  =>  n*m+1 < n^2).
+
+    Exploits g = n+1 exactly as the reference does (ipcl/pub_key.cpp:99-110):
+    (n+1)^m = 1 + n*m mod n^2, so plaintext embedding costs one shared-operand
+    product instead of a modexp.
+    """
+    raw = mul_shared(n_limbs, m)[..., :L2]  # [B, L2]; value < n^2
+    # +1 keeps digit 0 <= 2**15: safe redundant input for mont_mul.
+    return raw.at[..., 0].add(_U32(1))
+
+
+@jax.jit
+def encrypt_djn_op(m, r_wins, n_limbs, n2_n, n2_n0inv, n2_r2, n2_one, hs):
+    """DJN encrypt: ct = (n*m+1) * hs^r mod n^2.
+
+    m:      [B, Ln]  plaintext (already reduced mod n)
+    r_wins: [B, NW]  obfuscator exponent windows (randbits = bits/2)
+    hs:     [L2]     shared DJN base (table built once, not per element)
+    """
+    L2 = n2_n.shape[-1]
+    raw = _raw_encrypt(m, n_limbs, L2)
+    obf = mont_exp(hs, r_wins, n2_n, n2_n0inv, n2_r2, n2_one)  # [B, L2] < n^2
+    raw_m = mont_mul(raw, n2_r2, n2_n, n2_n0inv)
+    ct = mont_mul(raw_m, obf, n2_n, n2_n0inv)
+    return cond_sub_n(canonicalize(ct), n2_n)
+
+
+@jax.jit
+def encrypt_normal_op(m, r, n_wins, n_limbs, n2_n, n2_n0inv, n2_r2, n2_one):
+    """Normal (non-DJN) encrypt: ct = (n*m+1) * r^n mod n^2.
+
+    r:      [B, L2]  per-element obfuscator bases
+    n_wins: [1, NW]  shared exponent n as windows
+    """
+    L2 = n2_n.shape[-1]
+    raw = _raw_encrypt(m, n_limbs, L2)
+    obf = mont_exp(r, n_wins, n2_n, n2_n0inv, n2_r2, n2_one)
+    raw_m = mont_mul(raw, n2_r2, n2_n, n2_n0inv)
+    ct = mont_mul(raw_m, obf, n2_n, n2_n0inv)
+    return cond_sub_n(canonicalize(ct), n2_n)
+
+
+@jax.jit
+def encrypt_noobf_op(m, n_limbs, n2_n):
+    """Encrypt without obfuscation (make_secure=false path,
+    ipcl/pub_key.cpp:105-107): ct = n*m + 1 exactly."""
+    L2 = n2_n.shape[-1]
+    return canonicalize(_raw_encrypt(m, n_limbs, L2))
+
+
+# ---------------------------------------------------------------------------
+# decryption
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def decrypt_crt_op(
+    ct,
+    sq_n,  # [2, Lp2]   p^2 / q^2 limbs
+    sq_n0inv,  # [2]
+    sq_r2,  # [2, Lp2]
+    sq_one,  # [2, Lp2]
+    exp_wins,  # [2, 1, NW]  windows of p-1 / q-1
+    hensel,  # [2, Lp]     p^{-1} / q^{-1} mod 2^(15*Lp)
+    hfun,  # [2, Lp]     hp / hq
+    pq_n,  # [2, Lp]     p / q limbs
+    pq_n0inv,  # [2]
+    pq_r2,  # [2, Lp]
+    pinv_q,  # [Lq]        p^{-1} mod q
+    p_limbs,  # [Lp]
+):
+    """CRT decrypt (ipcl/pri_key.cpp:114-152), both halves in one vmapped
+    program:  m_h = L_h(c^{h-1} mod h^2) * hh mod h  for h in {p, q},
+    then  m = m_p + ((m_q - m_p) * p^{-1} mod q) * p.
+    """
+    Lp = pq_n.shape[-1]
+    Ln_out = ct.shape[-1] // 2  # final plaintext limb count upper bound
+
+    def half(sqn, sqn0, sqr2, sqone, ewins, hens, h, pn, pn0, pr2):
+        base = mod_fold(ct, sqn, sqn0, sqr2)  # ct mod h^2 (value < R)
+        res = mont_exp(base, ewins, sqn, sqn0, sqr2, sqone)  # [B, Lp2] < h^2
+        xm1 = sub_scalar(res, 1)
+        t = mul_low(hens, xm1, Lp)  # exact (res-1)/h, < h
+        return mont_mod_mul(t, h, pn, pn0, pr2)  # [B, Lp] < h
+
+    dphalves = jax.vmap(half, in_axes=(0,) * 10)(
+        sq_n, sq_n0inv, sq_r2, sq_one, exp_wins, hensel, hfun, pq_n, pq_n0inv, pq_r2
+    )  # [2, B, Lp]
+    dp, dq = dphalves[0], dphalves[1]
+    u = sub_mod(dq, dp, pq_n[1])  # (dq - dp) mod q
+    u2 = mont_mod_mul(u, pinv_q, pq_n[1], pq_n0inv[1], pq_r2[1])
+    prod = mul_shared(p_limbs, u2)  # [B, Lp+Lq]
+    m = prod.at[..., :Lp].add(dp)
+    m = canonicalize(m)
+    return m[..., : 2 * Lp]
+
+
+@jax.jit
+def decrypt_raw_op(
+    ct, lam_wins, n2_n, n2_n0inv, n2_r2, n2_one, hensel_n, x_limbs, n_n, n_n0inv, n_r2
+):
+    """RAW decrypt (ipcl/pri_key.cpp:92-111):
+    m = L(c^lambda mod n^2) * x mod n, L(y) = (y-1)/n via Hensel division."""
+    Ln = n_n.shape[-1]
+    res = mont_exp(ct, lam_wins, n2_n, n2_n0inv, n2_r2, n2_one)
+    xm1 = sub_scalar(res, 1)
+    t = mul_low(hensel_n, xm1, Ln)  # (res-1)/n < n
+    return mont_mod_mul(t, x_limbs, n_n, n_n0inv, n_r2)
+
+
+# ---------------------------------------------------------------------------
+# homomorphic ops
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def add_ctct_op(a, b, n2_n, n2_n0inv, n2_r2):
+    """CT+CT: elementwise a*b mod n^2 (ipcl/ciphertext.cpp:135-141)."""
+    return mont_mod_mul(a, b, n2_n, n2_n0inv, n2_r2)
+
+
+@jax.jit
+def mul_ctpt_op(ct, pt_wins, n2_n, n2_n0inv, n2_r2, n2_one):
+    """CT*PT: ct^pt mod n^2 (ipcl/ciphertext.cpp:143-162)."""
+    return mont_exp(ct, pt_wins, n2_n, n2_n0inv, n2_r2, n2_one)

@@ -1,0 +1,1 @@
+from .context import get_context, initialize_context, terminate_context

@@ -1,0 +1,39 @@
+"""Randomness for key material and obfuscators.
+
+The reference selects RDSEED -> RDRAND -> IPP PRNG at runtime
+(ipcl/utils/common.cpp:18-77, util.hpp:46-74).  On a TPU host the analogous
+split is:
+
+* **key material / obfuscators**: the OS CSPRNG (``secrets`` / ``os.urandom``)
+  — there is no on-chip TRNG to prefer, and these values are secret.
+* **deterministic test vectors**: explicit injection via
+  ``PublicKey.set_random`` (the analog of the reference's ``setRandom`` hook,
+  ipcl/pub_key.cpp:92-95), which makes encryption a pure function for the
+  ISO/IEC 18033-6 compliance tests.
+"""
+
+from __future__ import annotations
+
+import os
+import secrets
+from typing import List
+
+
+def random_bits(nbits: int) -> int:
+    """Uniform integer in [0, 2**nbits)."""
+    return secrets.randbits(nbits)
+
+
+def batch_random_bits(count: int, nbits: int) -> List[int]:
+    """``count`` independent uniform integers in [0, 2**nbits).
+
+    Bulk-reads the OS CSPRNG once (cheap even for thousands of 2048-bit
+    values) instead of per-element syscalls.
+    """
+    nbytes = -(-nbits // 8)
+    buf = os.urandom(count * nbytes)
+    mask = (1 << nbits) - 1
+    return [
+        int.from_bytes(buf[i * nbytes : (i + 1) * nbytes], "little") & mask
+        for i in range(count)
+    ]
