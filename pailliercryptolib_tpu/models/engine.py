@@ -19,6 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import paillier_ops as pops
+from ..ops.dispatch import default_backend
+from ..ops.pallas_modexp import BATCH_TILE
 from ..ops.limbs import (
     LIMB_BITS,
     ints_to_limbs,
@@ -31,10 +33,17 @@ from ..ops.limbs import (
 from ..ops.montgomery import MontConstants
 
 
-def _pad_batch(xs: List[int], fill: int) -> List[int]:
-    """Pad a batch to the next power of two with ``fill`` values."""
+def _pad_batch(xs: List[int], fill: int, backend: str = "xla") -> List[int]:
+    """Pad a batch so jit specializations stay bounded.
+
+    XLA backend: next power of two.  Pallas backend: next multiple of the
+    kernel's 128-lane batch tile.
+    """
     n = len(xs)
-    target = 1 << max(0, (n - 1).bit_length())
+    if backend.startswith("pallas"):
+        target = -(-n // BATCH_TILE) * BATCH_TILE
+    else:
+        target = 1 << max(0, (n - 1).bit_length())
     return xs + [fill] * (target - n)
 
 
@@ -46,7 +55,15 @@ def _round_windows(nw: int) -> int:
 class PublicEngine:
     """Device pipelines for one public key."""
 
-    def __init__(self, n: int, bits: int, hs: Optional[int], randbits: int):
+    def __init__(
+        self,
+        n: int,
+        bits: int,
+        hs: Optional[int],
+        randbits: int,
+        backend: Optional[str] = None,
+    ):
+        self.backend = backend or default_backend()
         self.n = n
         self.nbits = n.bit_length()
         self.nsquare = n * n
@@ -69,27 +86,29 @@ class PublicEngine:
 
     def encrypt_djn(self, m: Sequence[int], r: Sequence[int]) -> List[int]:
         size = len(m)
-        m_p = _pad_batch(list(m), 0)
-        r_p = _pad_batch(list(r), 0)
+        m_p = _pad_batch(list(m), 0, self.backend)
+        r_p = _pad_batch(list(r), 0, self.backend)
         ebits = max(self.randbits, max_bitlength(r_p))
         nw = _round_windows(num_windows(ebits))
         m_a = jnp.asarray(ints_to_limbs(m_p, self.Ln))
         r_w = jnp.asarray(ints_to_windows(r_p, nw * 4))
         n2_n, n2_n0inv, n2_r2, n2_one = self.n2_args
         out = pops.encrypt_djn_op(
-            m_a, r_w, self.n_limbs, n2_n, n2_n0inv, n2_r2, n2_one, self.hs_limbs
+            m_a, r_w, self.n_limbs, n2_n, n2_n0inv, n2_r2, n2_one, self.hs_limbs,
+            backend=self.backend,
         )
         return limbs_to_ints(np.asarray(out))[:size]
 
     def encrypt_normal(self, m: Sequence[int], r: Sequence[int]) -> List[int]:
         size = len(m)
-        m_p = _pad_batch(list(m), 0)
-        r_p = _pad_batch(list(r), 1)
+        m_p = _pad_batch(list(m), 0, self.backend)
+        r_p = _pad_batch(list(r), 1, self.backend)
         m_a = jnp.asarray(ints_to_limbs(m_p, self.Ln))
         r_a = jnp.asarray(ints_to_limbs(r_p, self.L2))
         n2_n, n2_n0inv, n2_r2, n2_one = self.n2_args
         out = pops.encrypt_normal_op(
-            m_a, r_a, self.n_wins, self.n_limbs, n2_n, n2_n0inv, n2_r2, n2_one
+            m_a, r_a, self.n_wins, self.n_limbs, n2_n, n2_n0inv, n2_r2, n2_one,
+            backend=self.backend,
         )
         return limbs_to_ints(np.asarray(out))[:size]
 
@@ -102,29 +121,44 @@ class PublicEngine:
 
     def add_ctct(self, a: Sequence[int], b: Sequence[int]) -> List[int]:
         size = len(a)
-        a_a = jnp.asarray(ints_to_limbs(_pad_batch(list(a), 0), self.L2))
-        b_a = jnp.asarray(ints_to_limbs(_pad_batch(list(b), 0), self.L2))
+        a_a = jnp.asarray(ints_to_limbs(_pad_batch(list(a), 0, self.backend), self.L2))
+        b_a = jnp.asarray(ints_to_limbs(_pad_batch(list(b), 1, self.backend), self.L2))
         n2_n, n2_n0inv, n2_r2, _ = self.n2_args
-        out = pops.add_ctct_op(a_a, b_a, n2_n, n2_n0inv, n2_r2)
+        out = pops.add_ctct_op(
+            a_a, b_a, n2_n, n2_n0inv, n2_r2, backend=self.backend
+        )
         return limbs_to_ints(np.asarray(out))[:size]
 
     def mul_ctpt(self, ct: Sequence[int], pt: Sequence[int]) -> List[int]:
         size = len(ct)
-        ct_p = _pad_batch(list(ct), 1)
-        pt_p = _pad_batch(list(pt), 0)
+        ct_p = _pad_batch(list(ct), 1, self.backend)
+        pt_p = _pad_batch(list(pt), 0, self.backend)
         nw = _round_windows(num_windows(max_bitlength(pt_p)))
         ct_a = jnp.asarray(ints_to_limbs(ct_p, self.L2))
         pt_w = jnp.asarray(ints_to_windows(pt_p, nw * 4))
         n2_n, n2_n0inv, n2_r2, n2_one = self.n2_args
-        out = pops.mul_ctpt_op(ct_a, pt_w, n2_n, n2_n0inv, n2_r2, n2_one)
+        out = pops.mul_ctpt_op(
+            ct_a, pt_w, n2_n, n2_n0inv, n2_r2, n2_one, backend=self.backend
+        )
         return limbs_to_ints(np.asarray(out))[:size]
 
 
 class PrivateEngine:
     """Device pipelines for one private key (CRT + RAW decrypt)."""
 
-    def __init__(self, n: int, p: int, q: int, lam: int, x: int, hp: int, hq: int):
+    def __init__(
+        self,
+        n: int,
+        p: int,
+        q: int,
+        lam: int,
+        x: int,
+        hp: int,
+        hq: int,
+        backend: Optional[str] = None,
+    ):
         assert p < q
+        self.backend = backend or default_backend()
         self.n = n
         self.nbits = n.bit_length()
         pbits = max(p.bit_length(), q.bit_length())
@@ -180,7 +214,9 @@ class PrivateEngine:
 
     def decrypt_crt(self, ct: Sequence[int]) -> List[int]:
         size = len(ct)
-        ct_a = jnp.asarray(ints_to_limbs(_pad_batch(list(ct), 1), 2 * self.Lp2))
+        ct_a = jnp.asarray(
+            ints_to_limbs(_pad_batch(list(ct), 1, self.backend), 2 * self.Lp2)
+        )
         out = pops.decrypt_crt_op(
             ct_a,
             self.sq_n,
@@ -195,13 +231,16 @@ class PrivateEngine:
             self.pq_r2,
             self.pinv_q,
             self.p_limbs,
+            backend=self.backend,
         )
         return limbs_to_ints(np.asarray(out))[:size]
 
     def decrypt_raw(self, ct: Sequence[int]) -> List[int]:
         size = len(ct)
         ct_a = jnp.asarray(
-            ints_to_limbs(_pad_batch(list(ct), 1), self.mont_n2.num_limbs)
+            ints_to_limbs(
+                _pad_batch(list(ct), 1, self.backend), self.mont_n2.num_limbs
+            )
         )
         n2_n, n2_n0inv, n2_r2, n2_one = self.mont_n2.as_device_args()
         n_n, n_n0inv, n_r2, _ = self.mont_n.as_device_args()
@@ -217,5 +256,6 @@ class PrivateEngine:
             n_n,
             n_n0inv,
             n_r2,
+            backend=self.backend,
         )
         return limbs_to_ints(np.asarray(out))[:size]

@@ -127,11 +127,17 @@ def mod_fold(
     multiply plus an add — no Barrett constant, no division.
     """
     L = n.shape[-1]
-    x_hi = x[..., L:]
-    x_lo = x[..., :L]
-    folded = mont_mul(x_hi, r2, n, n0inv)  # x_hi * R mod m, < 2m, digits <= 2^15
+    folded = mont_mul(x[..., L:], r2, n, n0inv)  # x_hi * R mod m
+    return mod_fold_combine(folded, x[..., :L], n)
+
+
+def mod_fold_combine(folded, x_lo, n):
+    """Tail of :func:`mod_fold` given folded = x_hi * R mod m (< 2m, digits
+    <= 2**15) and the canonical low half x_lo.  Split out so the Montgomery
+    product can run on the Pallas backend (ops/paillier_ops.py)."""
+    L = n.shape[-1]
     ext = jnp.concatenate(
-        [folded + x_lo, jnp.zeros(x.shape[:-1] + (1,), _U32)], axis=-1
+        [folded + x_lo, jnp.zeros(folded.shape[:-1] + (1,), _U32)], axis=-1
     )
     ext = canonicalize(ext)  # value < R + 2m, fits L+1 limbs
     n_ext = jnp.concatenate([n, jnp.zeros((1,), _U32)], axis=-1)

@@ -18,16 +18,26 @@ The CRT decrypt runs both half-width residue systems as one vmapped program
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 from .bigint import (
     add_scalar,
     mod_fold,
+    mod_fold_combine,
     mul_low,
     mul_shared,
     sub_mod,
     sub_scalar,
+)
+from .dispatch import (
+    mod_mul_backend,
+    mod_mul_backend_grouped,
+    modexp_backend,
+    modexp_backend_grouped,
+    mont_raw_backend_grouped,
 )
 from .montgomery import (
     canonicalize,
@@ -36,6 +46,8 @@ from .montgomery import (
     mont_mod_mul,
     mont_mul,
 )
+
+_sjit = functools.partial(jax.jit, static_argnames=("backend",))
 
 _U32 = jnp.uint32
 
@@ -57,8 +69,8 @@ def _raw_encrypt(m, n_limbs, L2):
     return raw.at[..., 0].add(_U32(1))
 
 
-@jax.jit
-def encrypt_djn_op(m, r_wins, n_limbs, n2_n, n2_n0inv, n2_r2, n2_one, hs):
+@_sjit
+def encrypt_djn_op(m, r_wins, n_limbs, n2_n, n2_n0inv, n2_r2, n2_one, hs, backend="xla"):
     """DJN encrypt: ct = (n*m+1) * hs^r mod n^2.
 
     m:      [B, Ln]  plaintext (already reduced mod n)
@@ -67,14 +79,12 @@ def encrypt_djn_op(m, r_wins, n_limbs, n2_n, n2_n0inv, n2_r2, n2_one, hs):
     """
     L2 = n2_n.shape[-1]
     raw = _raw_encrypt(m, n_limbs, L2)
-    obf = mont_exp(hs, r_wins, n2_n, n2_n0inv, n2_r2, n2_one)  # [B, L2] < n^2
-    raw_m = mont_mul(raw, n2_r2, n2_n, n2_n0inv)
-    ct = mont_mul(raw_m, obf, n2_n, n2_n0inv)
-    return cond_sub_n(canonicalize(ct), n2_n)
+    obf = modexp_backend(hs, r_wins, n2_n, n2_n0inv, n2_r2, n2_one, backend)
+    return mod_mul_backend(raw, obf, n2_n, n2_n0inv, n2_r2, backend)
 
 
-@jax.jit
-def encrypt_normal_op(m, r, n_wins, n_limbs, n2_n, n2_n0inv, n2_r2, n2_one):
+@_sjit
+def encrypt_normal_op(m, r, n_wins, n_limbs, n2_n, n2_n0inv, n2_r2, n2_one, backend="xla"):
     """Normal (non-DJN) encrypt: ct = (n*m+1) * r^n mod n^2.
 
     r:      [B, L2]  per-element obfuscator bases
@@ -82,10 +92,8 @@ def encrypt_normal_op(m, r, n_wins, n_limbs, n2_n, n2_n0inv, n2_r2, n2_one):
     """
     L2 = n2_n.shape[-1]
     raw = _raw_encrypt(m, n_limbs, L2)
-    obf = mont_exp(r, n_wins, n2_n, n2_n0inv, n2_r2, n2_one)
-    raw_m = mont_mul(raw, n2_r2, n2_n, n2_n0inv)
-    ct = mont_mul(raw_m, obf, n2_n, n2_n0inv)
-    return cond_sub_n(canonicalize(ct), n2_n)
+    obf = modexp_backend(r, n_wins, n2_n, n2_n0inv, n2_r2, n2_one, backend)
+    return mod_mul_backend(raw, obf, n2_n, n2_n0inv, n2_r2, backend)
 
 
 @jax.jit
@@ -101,7 +109,7 @@ def encrypt_noobf_op(m, n_limbs, n2_n):
 # ---------------------------------------------------------------------------
 
 
-@jax.jit
+@_sjit
 def decrypt_crt_op(
     ct,
     sq_n,  # [2, Lp2]   p^2 / q^2 limbs
@@ -116,44 +124,60 @@ def decrypt_crt_op(
     pq_r2,  # [2, Lp]
     pinv_q,  # [Lq]        p^{-1} mod q
     p_limbs,  # [Lp]
+    backend="xla",
 ):
     """CRT decrypt (ipcl/pri_key.cpp:114-152), both halves in one vmapped
     program:  m_h = L_h(c^{h-1} mod h^2) * hh mod h  for h in {p, q},
     then  m = m_p + ((m_q - m_p) * p^{-1} mod q) * p.
     """
     Lp = pq_n.shape[-1]
-    Ln_out = ct.shape[-1] // 2  # final plaintext limb count upper bound
+    Lp2 = sq_n.shape[-1]
 
-    def half(sqn, sqn0, sqr2, sqone, ewins, hens, h, pn, pn0, pr2):
-        base = mod_fold(ct, sqn, sqn0, sqr2)  # ct mod h^2 (value < R)
-        res = mont_exp(base, ewins, sqn, sqn0, sqr2, sqone)  # [B, Lp2] < h^2
-        xm1 = sub_scalar(res, 1)
-        t = mul_low(hens, xm1, Lp)  # exact (res-1)/h, < h
-        return mont_mod_mul(t, h, pn, pn0, pr2)  # [B, Lp] < h
+    # stage 1: fold ct into both residue systems (ct mod p^2 / q^2):
+    # x_hi * R mod h^2 via one grouped Montgomery product, then combine.
+    two = sq_n.shape[0]
+    x_hi = jnp.broadcast_to(ct[None, :, Lp2:], (two,) + ct[:, Lp2:].shape)
+    x_lo = jnp.broadcast_to(ct[None, :, :Lp2], (two,) + ct[:, :Lp2].shape)
+    folded = mont_raw_backend_grouped(
+        x_hi, sq_r2[:, None, :], sq_n, sq_n0inv, backend
+    )  # [2, B, Lp2]
+    bases = jax.vmap(mod_fold_combine, in_axes=(0, 0, 0))(folded, x_lo, sq_n)
 
-    dphalves = jax.vmap(half, in_axes=(0,) * 10)(
-        sq_n, sq_n0inv, sq_r2, sq_one, exp_wins, hensel, hfun, pq_n, pq_n0inv, pq_r2
+    # stage 2: both half-width modexp batches in ONE grouped launch
+    res = modexp_backend_grouped(
+        bases, exp_wins, sq_n, sq_n0inv, sq_r2, sq_one, backend
+    )  # [2, B, Lp2]
+
+    # stage 3: L-function (Hensel exact division) + h multiplier
+    def lfun(r, hens):
+        xm1 = sub_scalar(r, 1)
+        return mul_low(hens, xm1, Lp)  # exact (r-1)/h, < h
+
+    ts = jax.vmap(lfun, in_axes=(0, 0))(res, hensel)  # [2, B, Lp]
+    dphalves = mod_mul_backend_grouped(
+        ts, hfun[:, None, :], pq_n, pq_n0inv, pq_r2, backend
     )  # [2, B, Lp]
     dp, dq = dphalves[0], dphalves[1]
     u = sub_mod(dq, dp, pq_n[1])  # (dq - dp) mod q
-    u2 = mont_mod_mul(u, pinv_q, pq_n[1], pq_n0inv[1], pq_r2[1])
+    u2 = mod_mul_backend(u, pinv_q, pq_n[1], pq_n0inv[1], pq_r2[1], backend)
     prod = mul_shared(p_limbs, u2)  # [B, Lp+Lq]
     m = prod.at[..., :Lp].add(dp)
     m = canonicalize(m)
     return m[..., : 2 * Lp]
 
 
-@jax.jit
+@_sjit
 def decrypt_raw_op(
-    ct, lam_wins, n2_n, n2_n0inv, n2_r2, n2_one, hensel_n, x_limbs, n_n, n_n0inv, n_r2
+    ct, lam_wins, n2_n, n2_n0inv, n2_r2, n2_one, hensel_n, x_limbs, n_n, n_n0inv,
+    n_r2, backend="xla",
 ):
     """RAW decrypt (ipcl/pri_key.cpp:92-111):
     m = L(c^lambda mod n^2) * x mod n, L(y) = (y-1)/n via Hensel division."""
     Ln = n_n.shape[-1]
-    res = mont_exp(ct, lam_wins, n2_n, n2_n0inv, n2_r2, n2_one)
+    res = modexp_backend(ct, lam_wins, n2_n, n2_n0inv, n2_r2, n2_one, backend)
     xm1 = sub_scalar(res, 1)
     t = mul_low(hensel_n, xm1, Ln)  # (res-1)/n < n
-    return mont_mod_mul(t, x_limbs, n_n, n_n0inv, n_r2)
+    return mod_mul_backend(t, x_limbs, n_n, n_n0inv, n_r2, backend)
 
 
 # ---------------------------------------------------------------------------
@@ -161,13 +185,13 @@ def decrypt_raw_op(
 # ---------------------------------------------------------------------------
 
 
-@jax.jit
-def add_ctct_op(a, b, n2_n, n2_n0inv, n2_r2):
+@_sjit
+def add_ctct_op(a, b, n2_n, n2_n0inv, n2_r2, backend="xla"):
     """CT+CT: elementwise a*b mod n^2 (ipcl/ciphertext.cpp:135-141)."""
-    return mont_mod_mul(a, b, n2_n, n2_n0inv, n2_r2)
+    return mod_mul_backend(a, b, n2_n, n2_n0inv, n2_r2, backend)
 
 
-@jax.jit
-def mul_ctpt_op(ct, pt_wins, n2_n, n2_n0inv, n2_r2, n2_one):
+@_sjit
+def mul_ctpt_op(ct, pt_wins, n2_n, n2_n0inv, n2_r2, n2_one, backend="xla"):
     """CT*PT: ct^pt mod n^2 (ipcl/ciphertext.cpp:143-162)."""
-    return mont_exp(ct, pt_wins, n2_n, n2_n0inv, n2_r2, n2_one)
+    return modexp_backend(ct, pt_wins, n2_n, n2_n0inv, n2_r2, n2_one, backend)
