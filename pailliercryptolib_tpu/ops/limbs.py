@@ -54,7 +54,15 @@ def ints_to_limbs(xs: Sequence[int], num_limbs: int) -> np.ndarray:
     """Pack non-negative Python ints into a [batch, num_limbs] uint32 array.
 
     Little-endian limb order (limb 0 = least significant 15 bits).
+    Uses the native C++ codec (utils/native.py) when available.
     """
+    if any(x < 0 for x in xs):
+        raise ValueError("ints_to_limbs: negative values not supported")
+    from ..utils import native
+
+    fast = native.ints_to_limbs(xs, num_limbs)
+    if fast is not None:
+        return fast
     batch = len(xs)
     nbytes = -(-(num_limbs * LIMB_BITS) // 8)
     buf = bytearray(batch * nbytes)
@@ -85,6 +93,11 @@ def limbs_to_ints(limbs: np.ndarray) -> List[int]:
     batch, L = limbs.shape
     if np.any(limbs > LIMB_MASK):
         raise ValueError("limbs_to_ints: limbs not canonical (>= 2**15)")
+    from ..utils import native
+
+    fast = native.limbs_to_ints(limbs.astype(np.uint32))
+    if fast is not None:
+        return fast
     bits = (
         (limbs[:, :, None] >> np.arange(LIMB_BITS, dtype=np.uint64)[None, None, :]) & 1
     ).astype(np.uint8)
@@ -118,6 +131,16 @@ def ints_to_windows(xs: Sequence[int], ebits: int) -> np.ndarray:
     nw = num_windows(ebits)
     batch = len(xs)
     totbits = nw * WINDOW_BITS
+    for x in xs:
+        if x < 0:
+            raise ValueError("ints_to_windows: negative exponent")
+        if x >> totbits:
+            raise ValueError("ints_to_windows: exponent wider than ebits")
+    from ..utils import native
+
+    fast = native.ints_to_windows(xs, nw)
+    if fast is not None:
+        return fast
     nbytes = -(-totbits // 8)
     buf = bytearray(batch * nbytes)
     for i, x in enumerate(xs):

@@ -1,0 +1,276 @@
+"""Fused Pallas kernel for RNS Montgomery modexp — MXU + VPU together.
+
+The whole windowed exponentiation of ops/rns.py as one ``pallas_call``:
+residue tensors [BATCH_TILE, K] live in VMEM; the two base extensions of
+every Montgomery multiply are bf16 digit-plane matmuls on the MXU
+([128, k] @ [k, k+1], batch rows = systolic rows); the per-residue Barrett
+arithmetic rides the VPU.  This is the speed-of-light configuration for
+batched modexp on TPU: the 128-lane CIOS kernel (ops/pallas_modexp.py) is
+VPU-bound at ~15*L^2 lane-ops per multiply, while here ~98% of the
+multiply work runs on the systolic array at ~50x the flops.
+
+A leading group grid axis carries independent moduli (CRT decrypt: p^2 and
+q^2 as groups 0/1), exactly like the CIOS kernel.
+
+Layout note: unlike pallas_modexp.py (limbs on sublanes, batch on lanes),
+matmuls need batch on the *sublane* axis, so everything here is
+[batch_tile, K] — which also makes the elementwise stages natural
+(per-residue constants broadcast as [1, K] rows).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .limbs import WINDOW_BITS
+from .rns import (
+    ALPHA_MARGIN,
+    DIGIT_BITS,
+    DIGIT_MASK,
+    RNSContext,
+    barrett_reduce,
+    mulmod,
+)
+
+_U32 = jnp.uint32
+_F32 = jnp.float32
+_BF16 = jnp.bfloat16
+BATCH_TILE = 128
+_TABLE = 1 << WINDOW_BITS
+
+
+def _digit_planes_np(T):
+    """Host-side split of a uint32 matrix (<2^14) into two bf16 planes."""
+    import numpy as np
+
+    lo = (T & DIGIT_MASK).astype(np.float32)
+    hi = (T >> DIGIT_BITS).astype(np.float32)
+    return lo.astype(jnp.bfloat16), hi.astype(jnp.bfloat16)
+
+
+def _to_bf16(x):
+    """uint32 (< 2^15) -> bf16 exactly; Mosaic lacks uint->float casts."""
+    return x.astype(jnp.int32).astype(_BF16)
+
+
+def _to_u32(xf):
+    """integral f32 -> uint32 via int32 (Mosaic lacks float->uint casts)."""
+    return xf.astype(jnp.int32).astype(_U32)
+
+
+def _mm(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=_F32
+    )
+
+
+def _matmul_mod_planes(x, Tlo, Thi, m, mu):
+    """(x @ T) mod m with T pre-split into bf16 digit planes."""
+    xlo = _to_bf16(x & DIGIT_MASK)
+    xhi = _to_bf16(x >> DIGIT_BITS)
+    s_ll = _to_u32(_mm(xlo, Tlo))
+    mid = _to_u32(_mm(xlo, Thi) + _mm(xhi, Tlo))
+    s_hh = _to_u32(_mm(xhi, Thi))
+    t = barrett_reduce((s_hh << DIGIT_BITS) + mid, m, mu)
+    return barrett_reduce((t << DIGIT_BITS) + s_ll, m, mu)
+
+
+def _make_mont_mul(cref):
+    """Build the in-kernel Montgomery multiply over rows read once."""
+    (mods, mu, neg_Ninv_A, MAi_inv_A, inv_a, T1lo, T1hi, MA_mod_B, N_B,
+     MAinv_B, MBj_inv_B, T2lo, T2hi, MB_mod_Ar) = cref
+    k = neg_Ninv_A.shape[-1]
+    K = mods.shape[-1]
+    mA, muA = mods[:, :k], mu[:, :k]
+    mBx, muBx = mods[:, k:], mu[:, k:]
+    m_r, mu_r = mods[:, K - 1 :], mu[:, K - 1 :]  # [1, 1] (static slices)
+
+    def mont_mul(x, y):
+        s = mulmod(x, y, mods, mu)  # [Bt, K]
+        s_A, s_Bx = s[:, :k], s[:, k:]
+        q = mulmod(s_A, neg_Ninv_A, mA, muA)
+        sigma = mulmod(q, MAi_inv_A, mA, muA)
+
+        frac = jnp.sum(
+            sigma.astype(jnp.int32).astype(_F32) * inv_a, axis=-1, keepdims=True
+        )
+        alpha = _to_u32(jnp.maximum(jnp.floor(frac - ALPHA_MARGIN), 0.0))
+
+        ext = _matmul_mod_planes(sigma, T1lo, T1hi, mBx, muBx)  # [Bt, k+1]
+        corr = mulmod(alpha, MA_mod_B, mBx, muBx)
+        q_hat = jnp.where(ext >= corr, ext - corr, ext + mBx - corr)
+
+        t = barrett_reduce(s_Bx + q_hat * N_B, mBx, muBx)
+        r_Bx = mulmod(t, MAinv_B, mBx, muBx)
+        r_B, r_mr = r_Bx[:, :k], r_Bx[:, k : k + 1]
+
+        sigma2 = mulmod(r_B, MBj_inv_B, mods[:, k : 2 * k], mu[:, k : 2 * k])
+        # one matmul gives base-A columns [0:k] and the m_r column [k]
+        ext_all = _matmul_mod_planes(
+            sigma2, T2lo, T2hi,
+            jnp.concatenate([mA, mods[:, -1:]], axis=-1),
+            jnp.concatenate([muA, mu[:, -1:]], axis=-1),
+        )  # [Bt, k+1]
+        ext_A, ext_r = ext_all[:, :k], ext_all[:, k : k + 1]
+        diff = jnp.where(ext_r >= r_mr, ext_r - r_mr, ext_r + m_r - r_mr)
+        alpha2 = mulmod(diff, MB_mod_Ar[:, -1:], m_r, mu_r)  # MBinv_mr column
+        corr_A = mulmod(alpha2, MB_mod_Ar[:, :k], mA, muA)
+        r_A = jnp.where(ext_A >= corr_A, ext_A - corr_A, ext_A + mA - corr_A)
+        return jnp.concatenate([r_A, r_Bx], axis=-1)
+
+    return mont_mul
+
+
+def _rns_modexp_kernel(
+    mods_ref, mu_ref, negN_ref, MAiinv_ref, inva_ref, T1lo_ref, T1hi_ref,
+    MAmodB_ref, NB_ref, MAinvB_ref, MBjinv_ref, T2lo_ref, T2hi_ref,
+    MBmodAr_ref, montsq_ref, montone_ref, base_ref, win_ref, out_ref,
+    table_ref,
+):
+    K = base_ref.shape[-1]
+    Bt = base_ref.shape[-2]
+    NW = win_ref.shape[-1]
+
+    cref = (
+        mods_ref[0], mu_ref[0], negN_ref[0], MAiinv_ref[0], inva_ref[0],
+        T1lo_ref[0], T1hi_ref[0], MAmodB_ref[0], NB_ref[0], MAinvB_ref[0],
+        MBjinv_ref[0], T2lo_ref[0], T2hi_ref[0], MBmodAr_ref[0],
+    )
+    mont_mul = _make_mont_mul(cref)
+
+    x = base_ref[0]  # [Bt, K]
+    a = mont_mul(x, montsq_ref[0])  # to Montgomery form
+    one = jnp.broadcast_to(montone_ref[0], (Bt, K)).astype(_U32)
+
+    table_ref[0] = one
+    table_ref[1] = a
+    prev = a
+    for t in range(2, _TABLE):
+        prev = mont_mul(prev, a)
+        table_ref[t] = prev
+
+    def body(i, carry):
+        acc, wins = carry
+        for _ in range(WINDOW_BITS):
+            acc = mont_mul(acc, acc)
+        w = wins[:, 0:1]  # current window (static read; wins rolls left)
+        sel = jnp.zeros((Bt, K), _U32)
+        for t in range(_TABLE):
+            sel = jnp.where(w == t, table_ref[t], sel)
+        wins = pltpu.roll(wins, shift=NW - 1, axis=1)
+        return mont_mul(acc, sel), wins
+
+    acc, _ = jax.lax.fori_loop(0, NW, body, (one, win_ref[0]))
+
+    # leave the Montgomery domain (multiply by plain 1): value <= 2N
+    plain_one = jnp.ones((1, K), _U32)
+    out_ref[0] = mont_mul(acc, plain_one)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_rns_modexp(base_res, windows, consts, *, interpret=False):
+    """base^e mod N in RNS over a [G, B, K] residue batch.
+
+    base_res: [G, B, K] uint32 residues of bases (< N values).
+    windows:  [G, B, NW] uint32 4-bit windows, MS first.
+    consts:   dict of per-group stacked constant arrays (see
+              ``stack_group_consts``).
+    Returns [G, B, K] residues of a representative <= 2N of the result.
+    """
+    G, B, K = base_res.shape
+    NW = windows.shape[-1]
+    k = consts["neg_Ninv_A"].shape[-1]
+    assert B % BATCH_TILE == 0
+
+    def row(name, width):
+        return pl.BlockSpec(
+            (1, 1, width), lambda g, b: (g, 0, 0), memory_space=pltpu.VMEM
+        )
+
+    def mat(name, r, ccount):
+        return pl.BlockSpec(
+            (1, r, ccount), lambda g, b: (g, 0, 0), memory_space=pltpu.VMEM
+        )
+
+    data = pl.BlockSpec(
+        (1, BATCH_TILE, K), lambda g, b: (g, b, 0), memory_space=pltpu.VMEM
+    )
+    win_spec = pl.BlockSpec(
+        (1, BATCH_TILE, NW), lambda g, b: (g, b, 0), memory_space=pltpu.VMEM
+    )
+
+    in_specs = [
+        row("mods", K), row("mu", K), row("negN", k), row("MAiinv", k),
+        row("inva", k), mat("T1lo", k, k + 1), mat("T1hi", k, k + 1),
+        row("MAmodB", k + 1), row("NB", k + 1), row("MAinvB", k + 1),
+        row("MBjinv", k), mat("T2lo", k, k + 1), mat("T2hi", k, k + 1),
+        row("MBmodAr", k + 1), row("montsq", K), row("montone", K),
+        data, win_spec,
+    ]
+    args = [
+        consts["mods"][:, None, :], consts["barrett"][:, None, :],
+        consts["neg_Ninv_A"][:, None, :], consts["MAi_inv_A"][:, None, :],
+        consts["inv_a_f32"][:, None, :], consts["T1lo"], consts["T1hi"],
+        consts["MA_mod_B"][:, None, :], consts["N_B"][:, None, :],
+        consts["MAinv_B"][:, None, :], consts["MBj_inv_B"][:, None, :],
+        consts["T2lo"], consts["T2hi"], consts["MB_mod_Ar"][:, None, :],
+        consts["mont_sq"][:, None, :], consts["mont_one"][:, None, :],
+        base_res, windows,
+    ]
+    out = pl.pallas_call(
+        _rns_modexp_kernel,
+        out_shape=jax.ShapeDtypeStruct((G, B, K), _U32),
+        grid=(G, B // BATCH_TILE),
+        in_specs=in_specs,
+        out_specs=data,
+        scratch_shapes=[pltpu.VMEM((_TABLE, BATCH_TILE, K), _U32)],
+        interpret=interpret,
+    )(*args)
+    return out
+
+
+def stack_group_consts(ctxs) -> dict:
+    """Stack per-modulus RNSContext constants into [G, ...] jnp arrays for
+    the grouped kernel.  All contexts must share k (same modulus size)."""
+    import numpy as np
+
+    k = ctxs[0].k
+    assert all(c.k == k for c in ctxs)
+
+    def stk(get):
+        return jnp.asarray(np.stack([get(c) for c in ctxs]))
+
+    T1lo, T1hi = zip(*(_digit_planes_np(c.T1) for c in ctxs))
+    # T2 extended with the m_r column (T2r) so one matmul serves both
+    T2x = [np.concatenate([c.T2, c.T2r[:, None]], axis=1) for c in ctxs]
+    T2lo, T2hi = zip(*(_digit_planes_np(t) for t in T2x))
+    import numpy as _np
+
+    return dict(
+        mods=stk(lambda c: c.mods),
+        barrett=stk(lambda c: c.barrett),
+        neg_Ninv_A=stk(lambda c: c.neg_Ninv_A),
+        MAi_inv_A=stk(lambda c: c.MAi_inv_A),
+        inv_a_f32=stk(lambda c: c.inv_a_f32),
+        T1lo=jnp.asarray(_np.stack(T1lo)),
+        T1hi=jnp.asarray(_np.stack(T1hi)),
+        MA_mod_B=stk(lambda c: c.MA_mod_B),
+        N_B=stk(lambda c: c.N_B),
+        MAinv_B=stk(lambda c: c.MAinv_B),
+        MBj_inv_B=stk(lambda c: c.MBj_inv_B),
+        T2lo=jnp.asarray(_np.stack(T2lo)),
+        T2hi=jnp.asarray(_np.stack(T2hi)),
+        # MB mod a_i columns [0:k] + the M_B^{-1} mod m_r value at [k]
+        MB_mod_Ar=stk(
+            lambda c: _np.concatenate(
+                [c.MB_mod_A, _np.array([c.MBinv_mr], _np.uint32)]
+            )
+        ),
+        mont_sq=stk(lambda c: c.mont_sq),
+        mont_one=stk(lambda c: c.mont_one),
+    )
