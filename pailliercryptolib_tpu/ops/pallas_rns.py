@@ -81,65 +81,72 @@ def _matmul_mod_planes(x, Tlo, Thi, m, mu):
 
 
 def _make_mont_mul(cref):
-    """Build the in-kernel Montgomery multiply over rows read once."""
-    (mods, mu, neg_Ninv_A, MAi_inv_A, inv_a, T1lo, T1hi, MA_mod_B, N_B,
-     MAinv_B, MBj_inv_B, T2lo, T2hi, MB_mod_Ar) = cref
+    """Build the in-kernel Montgomery multiply.
+
+    All constant rows arrive PRE-SLICED from the host (offset-0 lane
+    layouts): Mosaic cannot broadcast lane-offset rows, so no constant is
+    ever sliced inside the kernel.  m_r scalars live in SMEM.
+    """
+    (mods_full, mu_full, modsA, muA, modsBx, muBx, modsB, muB, modsAr, muAr,
+     neg_Ninv_A, MAi_inv_A, inv_a, T1lo, T1hi, MA_mod_B, N_B, MAinv_B,
+     MBj_inv_B, T2lo, T2hi, MB_mod_A, m_r, mu_r, MBinv_mr) = cref
     k = neg_Ninv_A.shape[-1]
-    K = mods.shape[-1]
-    mA, muA = mods[:, :k], mu[:, :k]
-    mBx, muBx = mods[:, k:], mu[:, k:]
-    m_r, mu_r = mods[:, K - 1 :], mu[:, K - 1 :]  # [1, 1] (static slices)
 
     def mont_mul(x, y):
-        s = mulmod(x, y, mods, mu)  # [Bt, K]
+        s = mulmod(x, y, mods_full, mu_full)  # [Bt, K]
         s_A, s_Bx = s[:, :k], s[:, k:]
-        q = mulmod(s_A, neg_Ninv_A, mA, muA)
-        sigma = mulmod(q, MAi_inv_A, mA, muA)
+        q = mulmod(s_A, neg_Ninv_A, modsA, muA)
+        sigma = mulmod(q, MAi_inv_A, modsA, muA)
 
         frac = jnp.sum(
             sigma.astype(jnp.int32).astype(_F32) * inv_a, axis=-1, keepdims=True
         )
         alpha = _to_u32(jnp.maximum(jnp.floor(frac - ALPHA_MARGIN), 0.0))
 
-        ext = _matmul_mod_planes(sigma, T1lo, T1hi, mBx, muBx)  # [Bt, k+1]
-        corr = mulmod(alpha, MA_mod_B, mBx, muBx)
-        q_hat = jnp.where(ext >= corr, ext - corr, ext + mBx - corr)
+        ext = _matmul_mod_planes(sigma, T1lo, T1hi, modsBx, muBx)  # [Bt, k+1]
+        corr = mulmod(alpha, MA_mod_B, modsBx, muBx)
+        q_hat = jnp.where(ext >= corr, ext - corr, ext + modsBx - corr)
 
-        t = barrett_reduce(s_Bx + q_hat * N_B, mBx, muBx)
-        r_Bx = mulmod(t, MAinv_B, mBx, muBx)
+        t = barrett_reduce(s_Bx + q_hat * N_B, modsBx, muBx)
+        r_Bx = mulmod(t, MAinv_B, modsBx, muBx)
         r_B, r_mr = r_Bx[:, :k], r_Bx[:, k : k + 1]
 
-        sigma2 = mulmod(r_B, MBj_inv_B, mods[:, k : 2 * k], mu[:, k : 2 * k])
+        sigma2 = mulmod(r_B, MBj_inv_B, modsB, muB)
         # one matmul gives base-A columns [0:k] and the m_r column [k]
-        ext_all = _matmul_mod_planes(
-            sigma2, T2lo, T2hi,
-            jnp.concatenate([mA, mods[:, -1:]], axis=-1),
-            jnp.concatenate([muA, mu[:, -1:]], axis=-1),
-        )  # [Bt, k+1]
+        ext_all = _matmul_mod_planes(sigma2, T2lo, T2hi, modsAr, muAr)
         ext_A, ext_r = ext_all[:, :k], ext_all[:, k : k + 1]
         diff = jnp.where(ext_r >= r_mr, ext_r - r_mr, ext_r + m_r - r_mr)
-        alpha2 = mulmod(diff, MB_mod_Ar[:, -1:], m_r, mu_r)  # MBinv_mr column
-        corr_A = mulmod(alpha2, MB_mod_Ar[:, :k], mA, muA)
-        r_A = jnp.where(ext_A >= corr_A, ext_A - corr_A, ext_A + mA - corr_A)
+        alpha2 = mulmod(diff, MBinv_mr, m_r, mu_r)
+        corr_A = mulmod(alpha2, MB_mod_A, modsA, muA)
+        r_A = jnp.where(ext_A >= corr_A, ext_A - corr_A, ext_A + modsA - corr_A)
         return jnp.concatenate([r_A, r_Bx], axis=-1)
 
     return mont_mul
 
 
 def _rns_modexp_kernel(
-    mods_ref, mu_ref, negN_ref, MAiinv_ref, inva_ref, T1lo_ref, T1hi_ref,
-    MAmodB_ref, NB_ref, MAinvB_ref, MBjinv_ref, T2lo_ref, T2hi_ref,
-    MBmodAr_ref, montsq_ref, montone_ref, base_ref, win_ref, out_ref,
-    table_ref,
+    scal_ref,  # VMEM row [1, 1, 4]: m_r, mu_r, MBinv_mr, (pad)
+    mods_ref, mu_ref, modsA_ref, muA_ref, modsBx_ref, muBx_ref, modsB_ref,
+    muB_ref, modsAr_ref, muAr_ref, negN_ref, MAiinv_ref, inva_ref,
+    T1lo_ref, T1hi_ref, MAmodB_ref, NB_ref, MAinvB_ref, MBjinv_ref,
+    T2lo_ref, T2hi_ref, MBmodA_ref, montsq_ref, montone_ref, base_ref,
+    win_ref, out_ref, table_ref,
 ):
     K = base_ref.shape[-1]
     Bt = base_ref.shape[-2]
     NW = win_ref.shape[-1]
 
+    scal = scal_ref[0]  # [1, 4]
+    m_r = scal[:, 0:1]
+    mu_r = scal[:, 1:2]
+    MBinv_mr = scal[:, 2:3]
+
     cref = (
-        mods_ref[0], mu_ref[0], negN_ref[0], MAiinv_ref[0], inva_ref[0],
-        T1lo_ref[0], T1hi_ref[0], MAmodB_ref[0], NB_ref[0], MAinvB_ref[0],
-        MBjinv_ref[0], T2lo_ref[0], T2hi_ref[0], MBmodAr_ref[0],
+        mods_ref[0], mu_ref[0], modsA_ref[0], muA_ref[0], modsBx_ref[0],
+        muBx_ref[0], modsB_ref[0], muB_ref[0], modsAr_ref[0], muAr_ref[0],
+        negN_ref[0], MAiinv_ref[0], inva_ref[0], T1lo_ref[0], T1hi_ref[0],
+        MAmodB_ref[0], NB_ref[0], MAinvB_ref[0], MBjinv_ref[0], T2lo_ref[0],
+        T2hi_ref[0], MBmodA_ref[0], m_r, mu_r, MBinv_mr,
     )
     mont_mul = _make_mont_mul(cref)
 
@@ -176,7 +183,7 @@ def _rns_modexp_kernel(
 def pallas_rns_modexp(base_res, windows, consts, *, interpret=False):
     """base^e mod N in RNS over a [G, B, K] residue batch.
 
-    base_res: [G, B, K] uint32 residues of bases (< N values).
+    base_res: [G, B, K] uint32 residues of bases (< 3N values).
     windows:  [G, B, NW] uint32 4-bit windows, MS first.
     consts:   dict of per-group stacked constant arrays (see
               ``stack_group_consts``).
@@ -187,12 +194,33 @@ def pallas_rns_modexp(base_res, windows, consts, *, interpret=False):
     k = consts["neg_Ninv_A"].shape[-1]
     assert B % BATCH_TILE == 0
 
-    def row(name, width):
+    mods, mu = consts["mods"], consts["barrett"]
+    scal = jnp.stack(
+        [mods[:, -1], mu[:, -1], consts["MBinv_mr"],
+         jnp.zeros((G,), _U32)], axis=-1,
+    )[:, None, :]  # [G, 1, 4]
+    rows = [
+        mods, mu,  # full width K
+        mods[:, :k], mu[:, :k],  # base A
+        mods[:, k:], mu[:, k:],  # base B + m_r ("Bx")
+        mods[:, k : 2 * k], mu[:, k : 2 * k],  # base B
+        jnp.concatenate([mods[:, :k], mods[:, -1:]], -1),  # A + m_r ("Ar")
+        jnp.concatenate([mu[:, :k], mu[:, -1:]], -1),
+        consts["neg_Ninv_A"], consts["MAi_inv_A"],
+    ]
+    f32_rows = [consts["inv_a_f32"]]
+    rows2 = [
+        consts["MA_mod_B"], consts["N_B"], consts["MAinv_B"],
+        consts["MBj_inv_B"],
+    ]
+    rows3 = [consts["MB_mod_A"], consts["mont_sq"], consts["mont_one"]]
+
+    def row_spec(width):
         return pl.BlockSpec(
             (1, 1, width), lambda g, b: (g, 0, 0), memory_space=pltpu.VMEM
         )
 
-    def mat(name, r, ccount):
+    def mat_spec(r, ccount):
         return pl.BlockSpec(
             (1, r, ccount), lambda g, b: (g, 0, 0), memory_space=pltpu.VMEM
         )
@@ -204,24 +232,26 @@ def pallas_rns_modexp(base_res, windows, consts, *, interpret=False):
         (1, BATCH_TILE, NW), lambda g, b: (g, b, 0), memory_space=pltpu.VMEM
     )
 
-    in_specs = [
-        row("mods", K), row("mu", K), row("negN", k), row("MAiinv", k),
-        row("inva", k), mat("T1lo", k, k + 1), mat("T1hi", k, k + 1),
-        row("MAmodB", k + 1), row("NB", k + 1), row("MAinvB", k + 1),
-        row("MBjinv", k), mat("T2lo", k, k + 1), mat("T2hi", k, k + 1),
-        row("MBmodAr", k + 1), row("montsq", K), row("montone", K),
-        data, win_spec,
-    ]
-    args = [
-        consts["mods"][:, None, :], consts["barrett"][:, None, :],
-        consts["neg_Ninv_A"][:, None, :], consts["MAi_inv_A"][:, None, :],
-        consts["inv_a_f32"][:, None, :], consts["T1lo"], consts["T1hi"],
-        consts["MA_mod_B"][:, None, :], consts["N_B"][:, None, :],
-        consts["MAinv_B"][:, None, :], consts["MBj_inv_B"][:, None, :],
-        consts["T2lo"], consts["T2hi"], consts["MB_mod_Ar"][:, None, :],
-        consts["mont_sq"][:, None, :], consts["mont_one"][:, None, :],
-        base_res, windows,
-    ]
+    args = (
+        [scal]
+        + [r[:, None, :] for r in rows]
+        + [f32_rows[0][:, None, :]]
+        + [consts["T1lo"], consts["T1hi"]]
+        + [r[:, None, :] for r in rows2]
+        + [consts["T2lo"], consts["T2hi"]]
+        + [r[:, None, :] for r in rows3]
+        + [base_res, windows]
+    )
+    in_specs = (
+        [row_spec(4)]
+        + [row_spec(r.shape[-1]) for r in rows]
+        + [row_spec(k)]
+        + [mat_spec(k, k + 1)] * 2
+        + [row_spec(r.shape[-1]) for r in rows2]
+        + [mat_spec(k, k + 1)] * 2
+        + [row_spec(r.shape[-1]) for r in rows3]
+        + [data, win_spec]
+    )
     out = pl.pallas_call(
         _rns_modexp_kernel,
         out_shape=jax.ShapeDtypeStruct((G, B, K), _U32),
@@ -265,12 +295,8 @@ def stack_group_consts(ctxs) -> dict:
         MBj_inv_B=stk(lambda c: c.MBj_inv_B),
         T2lo=jnp.asarray(_np.stack(T2lo)),
         T2hi=jnp.asarray(_np.stack(T2hi)),
-        # MB mod a_i columns [0:k] + the M_B^{-1} mod m_r value at [k]
-        MB_mod_Ar=stk(
-            lambda c: _np.concatenate(
-                [c.MB_mod_A, _np.array([c.MBinv_mr], _np.uint32)]
-            )
-        ),
+        MB_mod_A=stk(lambda c: c.MB_mod_A),
+        MBinv_mr=stk(lambda c: _np.uint32(c.MBinv_mr)),
         mont_sq=stk(lambda c: c.mont_sq),
         mont_one=stk(lambda c: c.mont_one),
     )
