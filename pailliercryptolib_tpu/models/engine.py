@@ -36,15 +36,23 @@ from ..ops.montgomery import MontConstants
 def _pad_batch(xs: List[int], fill: int, backend: str = "xla") -> List[int]:
     """Pad a batch so jit specializations stay bounded.
 
-    XLA backend: next power of two.  Pallas backend: next multiple of the
-    kernel's 128-lane batch tile.
+    XLA backend: next power of two.  Kernel backends (pallas / rns): next
+    multiple of the 128-lane batch tile.
     """
     n = len(xs)
-    if backend.startswith("pallas"):
+    if backend != "xla":
         target = -(-n // BATCH_TILE) * BATCH_TILE
     else:
         target = 1 << max(0, (n - 1).bit_length())
     return xs + [fill] * (target - n)
+
+
+def _is_rns(backend: str) -> bool:
+    return backend.startswith("rns")
+
+
+def _rns_interp(backend: str) -> bool:
+    return backend == "rns_interpret"
 
 
 def _round_windows(nw: int) -> int:
@@ -79,8 +87,25 @@ class PublicEngine:
             jnp.asarray(ints_to_limbs([hs], self.L2)[0]) if hs is not None else None
         )
 
+        self._rns = None
+
     def set_hs(self, hs: int) -> None:
         self.hs_limbs = jnp.asarray(ints_to_limbs([hs], self.L2)[0])
+        self._rns = None  # hs residues must be rebuilt
+
+    @property
+    def rns(self):
+        """Lazy RNS machinery for n^2: (context, kernel consts, conversion
+        consts, hs residues)."""
+        if self._rns is None:
+            from ..ops.pallas_rns import stack_group_consts
+            from ..ops.rns import RNSContext
+
+            ctx = RNSContext.create(self.nsquare, in_limbs=self.L2)
+            kc = stack_group_consts([ctx])
+            conv = ctx.device_consts()
+            self._rns = (ctx, kc, conv)
+        return self._rns
 
     # -- pipelines ----------------------------------------------------------
 
@@ -93,10 +118,20 @@ class PublicEngine:
         m_a = jnp.asarray(ints_to_limbs(m_p, self.Ln))
         r_w = jnp.asarray(ints_to_windows(r_p, nw * 4))
         n2_n, n2_n0inv, n2_r2, n2_one = self.n2_args
-        out = pops.encrypt_djn_op(
-            m_a, r_w, self.n_limbs, n2_n, n2_n0inv, n2_r2, n2_one, self.hs_limbs,
-            backend=self.backend,
-        )
+        if _is_rns(self.backend):
+            _, kc, conv = self.rns
+            interp = _rns_interp(self.backend)
+            cios = "pallas_interpret" if interp else "pallas"
+            hs_b = jnp.broadcast_to(self.hs_limbs, (len(m_p), self.L2))
+            res = pops.rns_modexp_stage(hs_b, r_w, kc, interpret=interp)
+            obf = pops.rns_finalize_stage(res, conv, n2_n, self.L2)
+            raw = pops.encrypt_noobf_op(m_a, self.n_limbs, n2_n)
+            out = pops.mod_mul_stage(raw, obf, n2_n, n2_n0inv, n2_r2, backend=cios)
+        else:
+            out = pops.encrypt_djn_op(
+                m_a, r_w, self.n_limbs, n2_n, n2_n0inv, n2_r2, n2_one,
+                self.hs_limbs, backend=self.backend,
+            )
         return limbs_to_ints(np.asarray(out))[:size]
 
     def encrypt_normal(self, m: Sequence[int], r: Sequence[int]) -> List[int]:
@@ -106,10 +141,22 @@ class PublicEngine:
         m_a = jnp.asarray(ints_to_limbs(m_p, self.Ln))
         r_a = jnp.asarray(ints_to_limbs(r_p, self.L2))
         n2_n, n2_n0inv, n2_r2, n2_one = self.n2_args
-        out = pops.encrypt_normal_op(
-            m_a, r_a, self.n_wins, self.n_limbs, n2_n, n2_n0inv, n2_r2, n2_one,
-            backend=self.backend,
-        )
+        if _is_rns(self.backend):
+            _, kc, conv = self.rns
+            interp = _rns_interp(self.backend)
+            cios = "pallas_interpret" if interp else "pallas"
+            wins = jnp.broadcast_to(
+                self.n_wins, (len(m_p), self.n_wins.shape[-1])
+            )
+            res = pops.rns_modexp_stage(r_a, wins, kc, interpret=interp)
+            obf = pops.rns_finalize_stage(res, conv, n2_n, self.L2)
+            raw = pops.encrypt_noobf_op(m_a, self.n_limbs, n2_n)
+            out = pops.mod_mul_stage(raw, obf, n2_n, n2_n0inv, n2_r2, backend=cios)
+        else:
+            out = pops.encrypt_normal_op(
+                m_a, r_a, self.n_wins, self.n_limbs, n2_n, n2_n0inv, n2_r2,
+                n2_one, backend=self.backend,
+            )
         return limbs_to_ints(np.asarray(out))[:size]
 
     def encrypt_noobf(self, m: Sequence[int]) -> List[int]:
@@ -124,8 +171,13 @@ class PublicEngine:
         a_a = jnp.asarray(ints_to_limbs(_pad_batch(list(a), 0, self.backend), self.L2))
         b_a = jnp.asarray(ints_to_limbs(_pad_batch(list(b), 1, self.backend), self.L2))
         n2_n, n2_n0inv, n2_r2, _ = self.n2_args
+        add_backend = self.backend
+        if _is_rns(add_backend):  # addition has no modexp; use CIOS kernel
+            add_backend = (
+                "pallas_interpret" if _rns_interp(add_backend) else "pallas"
+            )
         out = pops.add_ctct_op(
-            a_a, b_a, n2_n, n2_n0inv, n2_r2, backend=self.backend
+            a_a, b_a, n2_n, n2_n0inv, n2_r2, backend=add_backend
         )
         return limbs_to_ints(np.asarray(out))[:size]
 
@@ -137,9 +189,15 @@ class PublicEngine:
         ct_a = jnp.asarray(ints_to_limbs(ct_p, self.L2))
         pt_w = jnp.asarray(ints_to_windows(pt_p, nw * 4))
         n2_n, n2_n0inv, n2_r2, n2_one = self.n2_args
-        out = pops.mul_ctpt_op(
-            ct_a, pt_w, n2_n, n2_n0inv, n2_r2, n2_one, backend=self.backend
-        )
+        if _is_rns(self.backend):
+            _, kc, conv = self.rns
+            interp = _rns_interp(self.backend)
+            res = pops.rns_modexp_stage(ct_a, pt_w, kc, interpret=interp)
+            out = pops.rns_finalize_stage(res, conv, n2_n, self.L2)
+        else:
+            out = pops.mul_ctpt_op(
+                ct_a, pt_w, n2_n, n2_n0inv, n2_r2, n2_one, backend=self.backend
+            )
         return limbs_to_ints(np.asarray(out))[:size]
 
 
@@ -211,28 +269,80 @@ class PrivateEngine:
         R_ln = 1 << (LIMB_BITS * self.Ln)
         self.hensel_n = jnp.asarray(ints_to_limbs([pow(n, -1, R_ln)], self.Ln)[0])
         self.x_limbs = jnp.asarray(ints_to_limbs([x], self.Ln)[0])
+        self._p, self._q, self._pbits = p, q, pbits
+        self._rns_crt = None
+        self._rns_raw = None
+
+    @property
+    def rns_crt(self):
+        """Grouped (p^2, q^2) RNS machinery: (kernel consts, conv consts)."""
+        if self._rns_crt is None:
+            import jax as _jax
+
+            from ..ops.pallas_rns import stack_group_consts
+            from ..ops.rns import GUARD_FACTOR, RNSContext
+
+            bits = 2 * self._pbits + GUARD_FACTOR.bit_length()
+            cp = RNSContext.create(
+                self._p * self._p, in_limbs=self.Lp2, product_bits=bits
+            )
+            cq = RNSContext.create(
+                self._q * self._q, in_limbs=self.Lp2, product_bits=bits
+            )
+            kc2 = stack_group_consts([cp, cq])
+            conv2 = _jax.tree.map(
+                lambda a, b: jnp.stack([jnp.asarray(a), jnp.asarray(b)]),
+                cp.device_consts(), cq.device_consts(),
+            )
+            self._rns_crt = (kc2, conv2)
+        return self._rns_crt
+
+    @property
+    def rns_raw(self):
+        """RNS machinery for the RAW path (modulus n^2)."""
+        if self._rns_raw is None:
+            from ..ops.pallas_rns import stack_group_consts
+            from ..ops.rns import RNSContext
+
+            ctx = RNSContext.create(
+                self.n * self.n, in_limbs=self.mont_n2.num_limbs
+            )
+            self._rns_raw = (stack_group_consts([ctx]), ctx.device_consts())
+        return self._rns_raw
 
     def decrypt_crt(self, ct: Sequence[int]) -> List[int]:
         size = len(ct)
         ct_a = jnp.asarray(
             ints_to_limbs(_pad_batch(list(ct), 1, self.backend), 2 * self.Lp2)
         )
-        out = pops.decrypt_crt_op(
-            ct_a,
-            self.sq_n,
-            self.sq_n0inv,
-            self.sq_r2,
-            self.sq_one,
-            self.exp_wins,
-            self.hensel,
-            self.hfun,
-            self.pq_n,
-            self.pq_n0inv,
-            self.pq_r2,
-            self.pinv_q,
-            self.p_limbs,
-            backend=self.backend,
-        )
+        if _is_rns(self.backend):
+            kc2, conv2 = self.rns_crt
+            out = pops.decrypt_crt_rns_op(
+                ct_a,
+                self.sq_n, self.sq_n0inv, self.sq_r2,
+                self.exp_wins, self.hensel, self.hfun,
+                self.pq_n, self.pq_n0inv, self.pq_r2,
+                self.pinv_q, self.p_limbs,
+                kc2, conv2,
+                interpret=_rns_interp(self.backend),
+            )
+        else:
+            out = pops.decrypt_crt_op(
+                ct_a,
+                self.sq_n,
+                self.sq_n0inv,
+                self.sq_r2,
+                self.sq_one,
+                self.exp_wins,
+                self.hensel,
+                self.hfun,
+                self.pq_n,
+                self.pq_n0inv,
+                self.pq_r2,
+                self.pinv_q,
+                self.p_limbs,
+                backend=self.backend,
+            )
         return limbs_to_ints(np.asarray(out))[:size]
 
     def decrypt_raw(self, ct: Sequence[int]) -> List[int]:
@@ -244,18 +354,32 @@ class PrivateEngine:
         )
         n2_n, n2_n0inv, n2_r2, n2_one = self.mont_n2.as_device_args()
         n_n, n_n0inv, n_r2, _ = self.mont_n.as_device_args()
-        out = pops.decrypt_raw_op(
-            ct_a,
-            self.lam_wins,
-            n2_n,
-            n2_n0inv,
-            n2_r2,
-            n2_one,
-            self.hensel_n,
-            self.x_limbs,
-            n_n,
-            n_n0inv,
-            n_r2,
-            backend=self.backend,
-        )
+        if _is_rns(self.backend):
+            kc, conv = self.rns_raw
+            interp = _rns_interp(self.backend)
+            cios = "pallas_interpret" if interp else "pallas"
+            wins = jnp.broadcast_to(
+                self.lam_wins, (ct_a.shape[0], self.lam_wins.shape[-1])
+            )
+            res_r = pops.rns_modexp_stage(ct_a, wins, kc, interpret=interp)
+            res = pops.rns_finalize_stage(res_r, conv, n2_n, n2_n.shape[-1])
+            out = pops.hensel_post_stage(
+                res, self.hensel_n, self.x_limbs, n_n, n_n0inv, n_r2,
+                backend=cios,
+            )
+        else:
+            out = pops.decrypt_raw_op(
+                ct_a,
+                self.lam_wins,
+                n2_n,
+                n2_n0inv,
+                n2_r2,
+                n2_one,
+                self.hensel_n,
+                self.x_limbs,
+                n_n,
+                n_n0inv,
+                n_r2,
+                backend=self.backend,
+            )
         return limbs_to_ints(np.asarray(out))[:size]

@@ -89,7 +89,7 @@ def default_backend() -> str:
     except RuntimeError:
         return "xla"
     if "TPU" in getattr(dev, "device_kind", "") or dev.platform in ("tpu",):
-        return "pallas"
+        return "rns"  # MXU path; "pallas" = CIOS/VPU kernel, "xla" = fallback
     return "xla"
 
 

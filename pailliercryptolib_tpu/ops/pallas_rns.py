@@ -124,15 +124,32 @@ def _make_mont_mul(cref):
     return mont_mul
 
 
+def _limbs_to_res(xl, Cinlo, Cinhi, mods, mu):
+    """In-kernel limbs [Bt, L] -> residues [Bt, K] via two matmul planes.
+
+    Limbs are < 2^15 -> three lhs digit planes; Cin entries < 2^14 -> two rhs
+    planes; all f32 accumulations < 2^23, exact.
+    """
+    acc = None
+    for shift in (0, DIGIT_BITS, 2 * DIGIT_BITS):
+        d = _to_bf16((xl >> shift) & DIGIT_MASK)
+        lo = _to_u32(_mm(d, Cinlo))
+        hi = _to_u32(_mm(d, Cinhi))
+        v = barrett_reduce((hi << DIGIT_BITS) + lo, mods, mu)  # < m
+        term = v << shift  # <= 2^28
+        acc = term if acc is None else barrett_reduce(acc + term, mods, mu)
+    return acc
+
+
 def _rns_modexp_kernel(
     scal_ref,  # VMEM row [1, 1, 4]: m_r, mu_r, MBinv_mr, (pad)
     mods_ref, mu_ref, modsA_ref, muA_ref, modsBx_ref, muBx_ref, modsB_ref,
     muB_ref, modsAr_ref, muAr_ref, negN_ref, MAiinv_ref, inva_ref,
     T1lo_ref, T1hi_ref, MAmodB_ref, NB_ref, MAinvB_ref, MBjinv_ref,
-    T2lo_ref, T2hi_ref, MBmodA_ref, montsq_ref, montone_ref, base_ref,
-    win_ref, out_ref, table_ref,
+    T2lo_ref, T2hi_ref, MBmodA_ref, Cinlo_ref, Cinhi_ref, montsq_ref,
+    montone_ref, base_ref, win_ref, out_ref, table_ref,
 ):
-    K = base_ref.shape[-1]
+    K = montone_ref.shape[-1]
     Bt = base_ref.shape[-2]
     NW = win_ref.shape[-1]
 
@@ -150,21 +167,30 @@ def _rns_modexp_kernel(
     )
     mont_mul = _make_mont_mul(cref)
 
-    x = base_ref[0]  # [Bt, K]
+    # in-kernel limbs -> residues conversion (two matmul planes)
+    x = _limbs_to_res(
+        base_ref[0], Cinlo_ref[0], Cinhi_ref[0], mods_ref[0], mu_ref[0]
+    )  # [Bt, K]
     a = mont_mul(x, montsq_ref[0])  # to Montgomery form
     one = jnp.broadcast_to(montone_ref[0], (Bt, K)).astype(_U32)
 
+    # Keep the number of *inlined* mont_mul instances small (compile time
+    # scales with program size): one copy per loop below.
     table_ref[0] = one
     table_ref[1] = a
-    prev = a
-    for t in range(2, _TABLE):
-        prev = mont_mul(prev, a)
-        table_ref[t] = prev
+
+    def table_step(t, prev):
+        nxt = mont_mul(prev, a)
+        table_ref[pl.ds(t, 1)] = nxt[None]
+        return nxt
+
+    jax.lax.fori_loop(2, _TABLE, table_step, a)
 
     def body(i, carry):
         acc, wins = carry
-        for _ in range(WINDOW_BITS):
-            acc = mont_mul(acc, acc)
+        acc = jax.lax.fori_loop(
+            0, WINDOW_BITS, lambda _, v: mont_mul(v, v), acc
+        )
         w = wins[:, 0:1]  # current window (static read; wins rolls left)
         sel = jnp.zeros((Bt, K), _U32)
         for t in range(_TABLE):
@@ -180,16 +206,18 @@ def _rns_modexp_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def pallas_rns_modexp(base_res, windows, consts, *, interpret=False):
-    """base^e mod N in RNS over a [G, B, K] residue batch.
+def pallas_rns_modexp(base_limbs, windows, consts, *, interpret=False):
+    """base^e mod N over a [G, B, L] batch of canonical 15-bit limbs.
 
-    base_res: [G, B, K] uint32 residues of bases (< 3N values).
+    The limbs->RNS conversion happens inside the kernel (two extra matmul
+    planes), so callers never materialize residues for inputs.
     windows:  [G, B, NW] uint32 4-bit windows, MS first.
     consts:   dict of per-group stacked constant arrays (see
               ``stack_group_consts``).
     Returns [G, B, K] residues of a representative <= 2N of the result.
     """
-    G, B, K = base_res.shape
+    G, B, L = base_limbs.shape
+    K = consts["mods"].shape[-1]
     NW = windows.shape[-1]
     k = consts["neg_Ninv_A"].shape[-1]
     assert B % BATCH_TILE == 0
@@ -213,7 +241,8 @@ def pallas_rns_modexp(base_res, windows, consts, *, interpret=False):
         consts["MA_mod_B"], consts["N_B"], consts["MAinv_B"],
         consts["MBj_inv_B"],
     ]
-    rows3 = [consts["MB_mod_A"], consts["mont_sq"], consts["mont_one"]]
+    rows3 = [consts["MB_mod_A"]]
+    rows4 = [consts["mont_sq"], consts["mont_one"]]
 
     def row_spec(width):
         return pl.BlockSpec(
@@ -240,7 +269,14 @@ def pallas_rns_modexp(base_res, windows, consts, *, interpret=False):
         + [r[:, None, :] for r in rows2]
         + [consts["T2lo"], consts["T2hi"]]
         + [r[:, None, :] for r in rows3]
-        + [base_res, windows]
+        + [consts["Cinlo"], consts["Cinhi"]]
+        + [r[:, None, :] for r in rows4]
+        + [base_limbs, windows]
+    )
+    Lc = consts["Cinlo"].shape[-2]
+    assert Lc == L, f"Cin limb rows {Lc} != base limbs {L}"
+    data_l = pl.BlockSpec(
+        (1, BATCH_TILE, L), lambda g, b: (g, b, 0), memory_space=pltpu.VMEM
     )
     in_specs = (
         [row_spec(4)]
@@ -250,7 +286,9 @@ def pallas_rns_modexp(base_res, windows, consts, *, interpret=False):
         + [row_spec(r.shape[-1]) for r in rows2]
         + [mat_spec(k, k + 1)] * 2
         + [row_spec(r.shape[-1]) for r in rows3]
-        + [data, win_spec]
+        + [mat_spec(L, K)] * 2
+        + [row_spec(r.shape[-1]) for r in rows4]
+        + [data_l, win_spec]
     )
     out = pl.pallas_call(
         _rns_modexp_kernel,
@@ -297,6 +335,12 @@ def stack_group_consts(ctxs) -> dict:
         T2hi=jnp.asarray(_np.stack(T2hi)),
         MB_mod_A=stk(lambda c: c.MB_mod_A),
         MBinv_mr=stk(lambda c: _np.uint32(c.MBinv_mr)),
+        Cinlo=jnp.asarray(
+            _np.stack([_digit_planes_np(c.Cin)[0] for c in ctxs])
+        ),
+        Cinhi=jnp.asarray(
+            _np.stack([_digit_planes_np(c.Cin)[1] for c in ctxs])
+        ),
         mont_sq=stk(lambda c: c.mont_sq),
         mont_one=stk(lambda c: c.mont_one),
     )

@@ -119,7 +119,15 @@ class RNSContext:
     plain_one: np.ndarray  # 1
 
     @classmethod
-    def create(cls, N: int, in_limbs: Optional[int] = None) -> "RNSContext":
+    def create(
+        cls,
+        N: int,
+        in_limbs: Optional[int] = None,
+        product_bits: Optional[int] = None,
+    ) -> "RNSContext":
+        """``product_bits`` forces the base product above 2**product_bits so
+        two same-size moduli (CRT's p^2 and q^2) get identical prime bases
+        and hence stackable constant shapes for the grouped kernel."""
         if N <= 0 or N % 2 == 0:
             raise ValueError("RNS modulus must be positive and odd")
         nbits = N.bit_length()
@@ -127,6 +135,8 @@ class RNSContext:
         # greedily take the largest primes first (fewer moduli)
         pool = sorted(pool, reverse=True)
         target = GUARD_FACTOR * N
+        if product_bits is not None:
+            target = max(target, 1 << product_bits)
 
         def take(start):
             prod, chosen = 1, []
