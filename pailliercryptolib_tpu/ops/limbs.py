@@ -155,10 +155,10 @@ def ints_to_windows(xs: Sequence[int], ebits: int) -> np.ndarray:
         axis=1,
         bitorder="little",
     )[:, :totbits]
-    bits = bits.reshape(batch, nw, WINDOW_BITS).astype(np.uint32)
-    weights = (np.uint32(1) << np.arange(WINDOW_BITS, dtype=np.uint32))[None, None, :]
-    wins = (bits * weights).sum(axis=2, dtype=np.uint32)
-    return wins[:, ::-1].copy()  # most-significant window first
+    bits = bits.reshape(batch, nw, WINDOW_BITS).astype(np.uint8)
+    weights = (np.uint8(1) << np.arange(WINDOW_BITS, dtype=np.uint8))[None, None, :]
+    wins = (bits * weights).sum(axis=2, dtype=np.uint8)
+    return wins[:, ::-1].copy()  # most-significant window first (uint8)
 
 
 def max_bitlength(xs: Iterable[int]) -> int:

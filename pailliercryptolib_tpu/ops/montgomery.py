@@ -249,6 +249,7 @@ def mont_exp(
     """
     L = base.shape[-1]
     nw = windows.shape[-1]
+    windows = windows.astype(_U32)
     batch_shape = jnp.broadcast_shapes(base.shape[:-1], windows.shape[:-1])
 
     a = mont_mul(base, r2, n, n0inv)  # to Montgomery form, < 2n

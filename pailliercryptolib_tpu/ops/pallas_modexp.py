@@ -183,7 +183,7 @@ def pallas_modexp(base, windows, n, n0inv, r2, one, *, interpret=False):
     assert B % BATCH_TILE == 0, f"batch {B} not a multiple of {BATCH_TILE}"
 
     base_t = base.transpose(0, 2, 1)  # [G, L, B]
-    win_t = windows.transpose(0, 2, 1)  # [G, NW, B]
+    win_t = windows.astype(_U32).transpose(0, 2, 1)  # [G, NW, B]
     n_c = n[:, :, None]  # [G, L, 1]
     r2_c = r2[:, :, None]
     one_c = one[:, :, None]

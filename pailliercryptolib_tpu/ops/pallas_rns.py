@@ -219,6 +219,7 @@ def pallas_rns_modexp(base_limbs, windows, consts, *, interpret=False):
     G, B, L = base_limbs.shape
     K = consts["mods"].shape[-1]
     NW = windows.shape[-1]
+    windows = windows.astype(_U32)  # uint8 on the wire, u32 in VMEM
     k = consts["neg_Ninv_A"].shape[-1]
     assert B % BATCH_TILE == 0
 

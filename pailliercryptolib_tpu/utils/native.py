@@ -114,4 +114,4 @@ def ints_to_windows(xs: Sequence[int], nw: int) -> Optional[np.ndarray]:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         nw,
     )
-    return out
+    return out.astype(np.uint8)  # values < 16; quarters the device upload
