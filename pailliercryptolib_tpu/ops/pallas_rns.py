@@ -205,8 +205,9 @@ def _rns_modexp_kernel(
     out_ref[0] = mont_mul(acc, plain_one)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def pallas_rns_modexp(base_limbs, windows, consts, *, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "batch_tile"))
+def pallas_rns_modexp(base_limbs, windows, consts, *, interpret=False,
+                      batch_tile=BATCH_TILE):
     """base^e mod N over a [G, B, L] batch of canonical 15-bit limbs.
 
     The limbs->RNS conversion happens inside the kernel (two extra matmul
@@ -220,8 +221,9 @@ def pallas_rns_modexp(base_limbs, windows, consts, *, interpret=False):
     K = consts["mods"].shape[-1]
     NW = windows.shape[-1]
     windows = windows.astype(_U32)  # uint8 on the wire, u32 in VMEM
+    Bt = batch_tile
     k = consts["neg_Ninv_A"].shape[-1]
-    assert B % BATCH_TILE == 0
+    assert B % Bt == 0
 
     mods, mu = consts["mods"], consts["barrett"]
     scal = jnp.stack(
@@ -256,10 +258,10 @@ def pallas_rns_modexp(base_limbs, windows, consts, *, interpret=False):
         )
 
     data = pl.BlockSpec(
-        (1, BATCH_TILE, K), lambda g, b: (g, b, 0), memory_space=pltpu.VMEM
+        (1, Bt, K), lambda g, b: (g, b, 0), memory_space=pltpu.VMEM
     )
     win_spec = pl.BlockSpec(
-        (1, BATCH_TILE, NW), lambda g, b: (g, b, 0), memory_space=pltpu.VMEM
+        (1, Bt, NW), lambda g, b: (g, b, 0), memory_space=pltpu.VMEM
     )
 
     args = (
@@ -277,7 +279,7 @@ def pallas_rns_modexp(base_limbs, windows, consts, *, interpret=False):
     Lc = consts["Cinlo"].shape[-2]
     assert Lc == L, f"Cin limb rows {Lc} != base limbs {L}"
     data_l = pl.BlockSpec(
-        (1, BATCH_TILE, L), lambda g, b: (g, b, 0), memory_space=pltpu.VMEM
+        (1, Bt, L), lambda g, b: (g, b, 0), memory_space=pltpu.VMEM
     )
     in_specs = (
         [row_spec(4)]
@@ -294,10 +296,10 @@ def pallas_rns_modexp(base_limbs, windows, consts, *, interpret=False):
     out = pl.pallas_call(
         _rns_modexp_kernel,
         out_shape=jax.ShapeDtypeStruct((G, B, K), _U32),
-        grid=(G, B // BATCH_TILE),
+        grid=(G, B // Bt),
         in_specs=in_specs,
         out_specs=data,
-        scratch_shapes=[pltpu.VMEM((_TABLE, BATCH_TILE, K), _U32)],
+        scratch_shapes=[pltpu.VMEM((_TABLE, Bt, K), _U32)],
         interpret=interpret,
     )(*args)
     return out
