@@ -88,24 +88,24 @@ def _make_mont_mul(cref):
     ever sliced inside the kernel.  m_r scalars live in SMEM.
     """
     (mods_full, mu_full, modsA, muA, modsBx, muBx, modsB, muB, modsAr, muAr,
-     neg_Ninv_A, MAi_inv_A, inv_a, T1lo, T1hi, MA_mod_B, N_B, MAinv_B,
+     sigma_c_A, inv_a, T1lo, T1hi, N_B, MAinv_B,
      MBj_inv_B, T2lo, T2hi, MB_mod_A, m_r, mu_r, MBinv_mr) = cref
-    k = neg_Ninv_A.shape[-1]
+    k = sigma_c_A.shape[-1]
 
     def mont_mul(x, y):
         s = mulmod(x, y, mods_full, mu_full)  # [Bt, K]
         s_A, s_Bx = s[:, :k], s[:, k:]
-        q = mulmod(s_A, neg_Ninv_A, modsA, muA)
-        sigma = mulmod(q, MAi_inv_A, modsA, muA)
+        # fused constant: sigma = s * (-N^{-1} (M_A/a_i)^{-1}) mod a_i
+        sigma = mulmod(s_A, sigma_c_A, modsA, muA)
 
         frac = jnp.sum(
             sigma.astype(jnp.int32).astype(_F32) * inv_a, axis=-1, keepdims=True
         )
         alpha = _to_u32(jnp.maximum(jnp.floor(frac - ALPHA_MARGIN), 0.0))
 
-        ext = _matmul_mod_planes(sigma, T1lo, T1hi, modsBx, muBx)  # [Bt, k+1]
-        corr = mulmod(alpha, MA_mod_B, modsBx, muBx)
-        q_hat = jnp.where(ext >= corr, ext - corr, ext + modsBx - corr)
+        # alpha correction rides the matmul (last row of T1ext = -M_A mod b)
+        x_ext = jnp.concatenate([sigma, alpha], axis=-1)  # [Bt, k+1]
+        q_hat = _matmul_mod_planes(x_ext, T1lo, T1hi, modsBx, muBx)
 
         t = barrett_reduce(s_Bx + q_hat * N_B, modsBx, muBx)
         r_Bx = mulmod(t, MAinv_B, modsBx, muBx)
@@ -144,8 +144,8 @@ def _limbs_to_res(xl, Cinlo, Cinhi, mods, mu):
 def _rns_modexp_kernel(
     scal_ref,  # VMEM row [1, 1, 4]: m_r, mu_r, MBinv_mr, (pad)
     mods_ref, mu_ref, modsA_ref, muA_ref, modsBx_ref, muBx_ref, modsB_ref,
-    muB_ref, modsAr_ref, muAr_ref, negN_ref, MAiinv_ref, inva_ref,
-    T1lo_ref, T1hi_ref, MAmodB_ref, NB_ref, MAinvB_ref, MBjinv_ref,
+    muB_ref, modsAr_ref, muAr_ref, sigmac_ref, inva_ref,
+    T1lo_ref, T1hi_ref, NB_ref, MAinvB_ref, MBjinv_ref,
     T2lo_ref, T2hi_ref, MBmodA_ref, Cinlo_ref, Cinhi_ref, montsq_ref,
     montone_ref, base_ref, win_ref, out_ref, table_ref,
 ):
@@ -161,8 +161,8 @@ def _rns_modexp_kernel(
     cref = (
         mods_ref[0], mu_ref[0], modsA_ref[0], muA_ref[0], modsBx_ref[0],
         muBx_ref[0], modsB_ref[0], muB_ref[0], modsAr_ref[0], muAr_ref[0],
-        negN_ref[0], MAiinv_ref[0], inva_ref[0], T1lo_ref[0], T1hi_ref[0],
-        MAmodB_ref[0], NB_ref[0], MAinvB_ref[0], MBjinv_ref[0], T2lo_ref[0],
+        sigmac_ref[0], inva_ref[0], T1lo_ref[0], T1hi_ref[0],
+        NB_ref[0], MAinvB_ref[0], MBjinv_ref[0], T2lo_ref[0],
         T2hi_ref[0], MBmodA_ref[0], m_r, mu_r, MBinv_mr,
     )
     mont_mul = _make_mont_mul(cref)
@@ -237,11 +237,11 @@ def pallas_rns_modexp(base_limbs, windows, consts, *, interpret=False,
         mods[:, k : 2 * k], mu[:, k : 2 * k],  # base B
         jnp.concatenate([mods[:, :k], mods[:, -1:]], -1),  # A + m_r ("Ar")
         jnp.concatenate([mu[:, :k], mu[:, -1:]], -1),
-        consts["neg_Ninv_A"], consts["MAi_inv_A"],
+        consts["sigma_c_A"],
     ]
     f32_rows = [consts["inv_a_f32"]]
     rows2 = [
-        consts["MA_mod_B"], consts["N_B"], consts["MAinv_B"],
+        consts["N_B"], consts["MAinv_B"],
         consts["MBj_inv_B"],
     ]
     rows3 = [consts["MB_mod_A"]]
@@ -285,7 +285,7 @@ def pallas_rns_modexp(base_limbs, windows, consts, *, interpret=False,
         [row_spec(4)]
         + [row_spec(r.shape[-1]) for r in rows]
         + [row_spec(k)]
-        + [mat_spec(k, k + 1)] * 2
+        + [mat_spec(k + 1, k + 1)] * 2
         + [row_spec(r.shape[-1]) for r in rows2]
         + [mat_spec(k, k + 1)] * 2
         + [row_spec(r.shape[-1]) for r in rows3]
@@ -316,7 +316,7 @@ def stack_group_consts(ctxs) -> dict:
     def stk(get):
         return jnp.asarray(np.stack([get(c) for c in ctxs]))
 
-    T1lo, T1hi = zip(*(_digit_planes_np(c.T1) for c in ctxs))
+    T1lo, T1hi = zip(*(_digit_planes_np(c.T1ext) for c in ctxs))
     # T2 extended with the m_r column (T2r) so one matmul serves both
     T2x = [np.concatenate([c.T2, c.T2r[:, None]], axis=1) for c in ctxs]
     T2lo, T2hi = zip(*(_digit_planes_np(t) for t in T2x))
@@ -327,10 +327,11 @@ def stack_group_consts(ctxs) -> dict:
         barrett=stk(lambda c: c.barrett),
         neg_Ninv_A=stk(lambda c: c.neg_Ninv_A),
         MAi_inv_A=stk(lambda c: c.MAi_inv_A),
+        sigma_c_A=stk(lambda c: c.sigma_c_A),
         inv_a_f32=stk(lambda c: c.inv_a_f32),
         T1lo=jnp.asarray(_np.stack(T1lo)),
         T1hi=jnp.asarray(_np.stack(T1hi)),
-        MA_mod_B=stk(lambda c: c.MA_mod_B),
+
         N_B=stk(lambda c: c.N_B),
         MAinv_B=stk(lambda c: c.MAinv_B),
         MBj_inv_B=stk(lambda c: c.MBj_inv_B),

@@ -97,6 +97,8 @@ class RNSContext:
     barrett: np.ndarray  # [K] floor(2^28/m)
     neg_Ninv_A: np.ndarray  # [k]   -N^{-1} mod a_i
     MAi_inv_A: np.ndarray  # [k]   (M_A/a_i)^{-1} mod a_i
+    sigma_c_A: np.ndarray  # [k]   (-N^{-1} * (M_A/a_i)^{-1}) mod a_i (fused)
+    T1ext: np.ndarray  # [k+1, k+1] T1 plus a last row of (-M_A) mod (b_j|m_r)
     inv_a_f32: np.ndarray  # [k]   1/a_i as f32 (Kawamura)
     T1: np.ndarray  # [k, k+1]  (M_A/a_i) mod (b_j | m_r)
     MA_mod_B: np.ndarray  # [k+1] M_A mod (b_j | m_r)
@@ -190,6 +192,18 @@ class RNSContext:
             MAi_inv_A=np.array(
                 [pow(MAi[i] % A[i], -1, A[i]) for i in range(k)], np.uint32
             ),
+            sigma_c_A=np.array(
+                [
+                    (-pow(N, -1, a) * pow(MAi[i] % a, -1, a)) % a
+                    for i, a in enumerate(A)
+                ],
+                np.uint32,
+            ),
+            T1ext=np.array(
+                [[MAi[i] % m for m in Bx] for i in range(k)]
+                + [[(-MA) % m for m in Bx]],
+                np.uint32,
+            ),
             inv_a_f32=(1.0 / A_np.astype(np.float64)).astype(np.float32),
             T1=np.array(
                 [[MAi[i] % m for m in Bx] for i in range(k)], np.uint32
@@ -237,6 +251,8 @@ class RNSContext:
             MAi_inv_A=f(self.MAi_inv_A),
             inv_a_f32=f(self.inv_a_f32),
             T1=f(self.T1),
+            sigma_c_A=f(self.sigma_c_A),
+            T1ext=f(self.T1ext),
             MA_mod_B=f(self.MA_mod_B),
             N_B=f(self.N_B),
             MAinv_B=f(self.MAinv_B),
@@ -343,18 +359,18 @@ def rns_mont_mul(x, y, c):
     s = mulmod(x, y, mods, mu)  # [B, K]
     s_A, s_Bx = s[..., :k], s[..., k:]
 
-    # q in base A, then sigma for the extension
-    q = mulmod(s_A, c["neg_Ninv_A"], mA, muA)
-    sigma = mulmod(q, c["MAi_inv_A"], mA, muA)  # [B, k]
+    # sigma for the extension (q and the (M_A/a_i)^{-1} factor fused into
+    # one constant: sigma = s * (-N^{-1} (M_A/a_i)^{-1}) mod a_i)
+    sigma = mulmod(s_A, c["sigma_c_A"], mA, muA)  # [B, k]
 
     # Kawamura alpha estimate (may undershoot by exactly 1, never overshoot)
     frac = jnp.sum(sigma.astype(_F32) * c["inv_a_f32"], axis=-1)
     alpha = jnp.maximum(jnp.floor(frac - ALPHA_MARGIN), 0.0).astype(_U32)  # [B]
 
-    # extend q to base B + m_r:  q_hat = sigma @ T1 - alpha * M_A
-    ext = matmul_mod(sigma, c["T1"], mBx, muBx)  # [B, k+1]
-    corr = mulmod(alpha[..., None], c["MA_mod_B"], mBx, muBx)
-    q_hat = jnp.where(ext >= corr, ext - corr, ext + mBx - corr)
+    # extend q to base B + m_r: the alpha correction rides the matmul as an
+    # extra lhs column against the (-M_A mod b_j) row of T1ext
+    x_ext = jnp.concatenate([sigma, alpha[..., None]], axis=-1)  # [B, k+1]
+    q_hat = matmul_mod(x_ext, c["T1ext"], mBx, muBx)  # [B, k+1]
 
     # r = (s + q_hat * N) * M_A^{-1}  in base B + m_r
     t = barrett_reduce(s_Bx + q_hat * c["N_B"], mBx, muBx)
