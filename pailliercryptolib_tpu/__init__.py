@@ -16,6 +16,7 @@ Public API (mirrors ipcl/include/ipcl/ipcl.hpp):
 """
 
 from .models.keygen import generate_keypair
+from .ops.api import modexp
 from .models.keys import KeyPair, PrivateKey, PublicKey
 from .models.texts import BaseText, CipherText, PlainText
 from .parallel.context import (
@@ -34,6 +35,7 @@ __all__ = [
     "PrivateKey",
     "PublicKey",
     "generate_keypair",
+    "modexp",
     "get_context",
     "initialize_context",
     "terminate_context",
