@@ -128,3 +128,36 @@ def shard_batch(arr, mesh: Mesh):
     )
     spec = P(axes, *([None] * (arr.ndim - 1)))
     return jax.device_put(arr, NamedSharding(mesh, spec))
+
+
+def shard_batch_middle(arr, mesh: Mesh):
+    """Place a [G, B, ...] array with axis 1 sharded over the mesh batch."""
+    axes = ("crt", "batch") if "crt" in mesh.axis_names else ("batch",)
+    spec = P(None, axes if len(axes) == 1 else axes, *([None] * (arr.ndim - 2)))
+    return jax.device_put(arr, NamedSharding(mesh, spec))
+
+
+def sharded_rns_modexp(mesh: Mesh, consts: dict, *, interpret: bool = False):
+    """shard_map'd RNS/MXU modexp: [G, B, L] limbs with B split on 'batch'.
+
+    Every device runs the fused MXU kernel (ops/pallas_rns.py) on its local
+    batch shard; the grouped-constants dict is replicated.  This is the
+    multi-chip form of the flagship path: with the batch axis sharded over
+    ICI there are no collectives at all — each chip's systolic array works
+    an independent slice of the ciphertext vector (SURVEY.md §2.5).
+    """
+    import functools as _ft
+
+    from ..ops.pallas_rns import pallas_rns_modexp
+
+    axes = ("crt", "batch") if "crt" in mesh.axis_names else ("batch",)
+    data = P(None, axes, None) if axes == ("batch",) else P("crt", "batch", None)
+
+    fn = jax.shard_map(
+        _ft.partial(pallas_rns_modexp, interpret=interpret),
+        mesh=mesh,
+        in_specs=(data, data, jax.tree.map(lambda _: P(), consts)),
+        out_specs=data,
+        check_vma=False,
+    )
+    return jax.jit(fn)

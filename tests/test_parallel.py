@@ -95,3 +95,35 @@ def test_entry_compiles():
     out = fn(*args)
     jax.tree.map(lambda x: x.block_until_ready(), out)
     assert out.shape[0] == args[0].shape[0]
+
+
+def test_sharded_rns_modexp_matches_pow(rng):
+    """The flagship MXU kernel under shard_map on the 8-device CPU mesh."""
+    import random
+
+    from pailliercryptolib_tpu.ops import rns
+    from pailliercryptolib_tpu.ops.pallas_rns import (
+        BATCH_TILE,
+        stack_group_consts,
+    )
+
+    r2 = random.Random(123)
+    N = r2.getrandbits(128) | (1 << 127) | 1
+    c = rns.RNSContext.create(N)
+    consts = stack_group_consts([c])
+    mesh = pmesh.make_mesh(2)  # 2 devices x BATCH_TILE local batch
+    B = 2 * BATCH_TILE
+    bases = [r2.randrange(N) for _ in range(B)]
+    exps = [r2.getrandbits(16) for _ in range(B)]
+    x = jnp.asarray(lb.ints_to_limbs(bases, c.Lin))[None]
+    wins = jnp.asarray(lb.ints_to_windows(exps, 16))[None]
+    x = pmesh.shard_batch_middle(x, mesh)
+    wins = pmesh.shard_batch_middle(wins, mesh)
+    fn = pmesh.sharded_rns_modexp(mesh, consts, interpret=True)
+    out = fn(x, wins, consts)
+    got = lb.limbs_to_ints(
+        np.asarray(rns.rns_to_limbs(jnp.asarray(out[0]), c.device_consts()))
+    )
+    for g, b, e in zip(got, bases, exps):
+        assert g % N == pow(b, e, N)
+        assert g <= 2 * N
