@@ -29,7 +29,22 @@ from ..ops.limbs import (
     limbs_to_ints,
     max_bitlength,
     num_windows,
+    pack_pairs_np,
+    unpack_pairs_np,
 )
+
+
+def _download_limbs(dev_arr) -> List[int]:
+    """Device canonical limbs -> host ints via a packed (half-size) download."""
+    packed = pops.pack_out_op(dev_arr)
+    L = dev_arr.shape[-1]
+    return limbs_to_ints(unpack_pairs_np(np.asarray(packed), L))
+
+
+def _upload_limbs(ints: Sequence[int], num_limbs: int):
+    """Host ints -> device canonical limbs via a packed (half-size) upload."""
+    packed = pack_pairs_np(ints_to_limbs(list(ints), num_limbs))
+    return pops.unpack_in_op(jnp.asarray(packed), num_limbs)
 from ..ops.montgomery import MontConstants
 
 
@@ -127,11 +142,11 @@ class PublicEngine:
             obf = pops.rns_finalize_stage(res, conv, n2_n, self.L2)
             raw = pops.encrypt_noobf_op(m_a, self.n_limbs, n2_n)
             out = pops.mod_mul_stage(raw, obf, n2_n, n2_n0inv, n2_r2, backend=cios)
-        else:
-            out = pops.encrypt_djn_op(
-                m_a, r_w, self.n_limbs, n2_n, n2_n0inv, n2_r2, n2_one,
-                self.hs_limbs, backend=self.backend,
-            )
+            return _download_limbs(out)[:size]
+        out = pops.encrypt_djn_op(
+            m_a, r_w, self.n_limbs, n2_n, n2_n0inv, n2_r2, n2_one,
+            self.hs_limbs, backend=self.backend,
+        )
         return limbs_to_ints(np.asarray(out))[:size]
 
     def encrypt_normal(self, m: Sequence[int], r: Sequence[int]) -> List[int]:
@@ -152,8 +167,8 @@ class PublicEngine:
             obf = pops.rns_finalize_stage(res, conv, n2_n, self.L2)
             raw = pops.encrypt_noobf_op(m_a, self.n_limbs, n2_n)
             out = pops.mod_mul_stage(raw, obf, n2_n, n2_n0inv, n2_r2, backend=cios)
-        else:
-            out = pops.encrypt_normal_op(
+            return _download_limbs(out)[:size]
+        out = pops.encrypt_normal_op(
                 m_a, r_a, self.n_wins, self.n_limbs, n2_n, n2_n0inv, n2_r2,
                 n2_one, backend=self.backend,
             )
@@ -186,7 +201,10 @@ class PublicEngine:
         ct_p = _pad_batch(list(ct), 1, self.backend)
         pt_p = _pad_batch(list(pt), 0, self.backend)
         nw = _round_windows(num_windows(max_bitlength(pt_p)))
-        ct_a = jnp.asarray(ints_to_limbs(ct_p, self.L2))
+        if _is_rns(self.backend) or self.backend.startswith("pallas"):
+            ct_a = _upload_limbs(ct_p, self.L2)
+        else:
+            ct_a = jnp.asarray(ints_to_limbs(ct_p, self.L2))
         pt_w = jnp.asarray(ints_to_windows(pt_p, nw * 4))
         n2_n, n2_n0inv, n2_r2, n2_one = self.n2_args
         if _is_rns(self.backend):
@@ -194,8 +212,8 @@ class PublicEngine:
             interp = _rns_interp(self.backend)
             res = pops.rns_modexp_stage(ct_a, pt_w, kc, interpret=interp)
             out = pops.rns_finalize_stage(res, conv, n2_n, self.L2)
-        else:
-            out = pops.mul_ctpt_op(
+            return _download_limbs(out)[:size]
+        out = pops.mul_ctpt_op(
                 ct_a, pt_w, n2_n, n2_n0inv, n2_r2, n2_one, backend=self.backend
             )
         return limbs_to_ints(np.asarray(out))[:size]
@@ -312,9 +330,11 @@ class PrivateEngine:
 
     def decrypt_crt(self, ct: Sequence[int]) -> List[int]:
         size = len(ct)
-        ct_a = jnp.asarray(
-            ints_to_limbs(_pad_batch(list(ct), 1, self.backend), 2 * self.Lp2)
-        )
+        ct_p = _pad_batch(list(ct), 1, self.backend)
+        if self.backend != "xla":
+            ct_a = _upload_limbs(ct_p, 2 * self.Lp2)
+        else:
+            ct_a = jnp.asarray(ints_to_limbs(ct_p, 2 * self.Lp2))
         if _is_rns(self.backend):
             kc2, conv2 = self.rns_crt
             out = pops.decrypt_crt_rns_op(

@@ -163,3 +163,30 @@ def ints_to_windows(xs: Sequence[int], ebits: int) -> np.ndarray:
 
 def max_bitlength(xs: Iterable[int]) -> int:
     return max((int(x).bit_length() for x in xs), default=1)
+
+
+# ---------------------------------------------------------------------------
+# packed transfers: two 15-bit limbs per uint32 word (halves host<->device
+# traffic, which dominates end-to-end time on narrow interconnects)
+# ---------------------------------------------------------------------------
+
+
+def pack_pairs_np(limbs: np.ndarray) -> np.ndarray:
+    """[..., L] canonical 15-bit limbs -> [..., ceil(L/2)] packed uint32."""
+    limbs = np.asarray(limbs, np.uint32)
+    L = limbs.shape[-1]
+    if L % 2:
+        pad = np.zeros(limbs.shape[:-1] + (1,), np.uint32)
+        limbs = np.concatenate([limbs, pad], axis=-1)
+    return limbs[..., 0::2] | (limbs[..., 1::2] << np.uint32(LIMB_BITS))
+
+
+def unpack_pairs_np(packed: np.ndarray, num_limbs: int) -> np.ndarray:
+    """Inverse of :func:`pack_pairs_np`."""
+    packed = np.asarray(packed, np.uint32)
+    lo = packed & np.uint32(LIMB_MASK)
+    hi = packed >> np.uint32(LIMB_BITS)
+    out = np.empty(packed.shape[:-1] + (2 * packed.shape[-1],), np.uint32)
+    out[..., 0::2] = lo
+    out[..., 1::2] = hi
+    return out[..., :num_limbs]

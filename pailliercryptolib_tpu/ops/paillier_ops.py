@@ -374,3 +374,28 @@ def hensel_post_stage(res, hensel_n, x_limbs, n_n, n_n0inv, n_r2, backend="palla
     xm1 = sub_scalar(res, 1)
     t = mul_low(hensel_n, xm1, Ln)
     return mod_mul_backend(t, x_limbs, n_n, n_n0inv, n_r2, backend)
+
+
+# ---------------------------------------------------------------------------
+# packed-transfer helpers (two 15-bit limbs per uint32 on the wire)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def pack_out_op(x):
+    """[B, L] canonical limbs -> [B, ceil(L/2)] packed words (device side)."""
+    L = x.shape[-1]
+    if L % 2:
+        x = jnp.concatenate([x, jnp.zeros(x.shape[:-1] + (1,), _U32)], -1)
+    return x[..., 0::2] | (x[..., 1::2] << jnp.uint32(15))
+
+
+@functools.partial(jax.jit, static_argnames=("num_limbs",))
+def unpack_in_op(packed, num_limbs):
+    """Inverse of pack_out_op (device side)."""
+    lo = packed & jnp.uint32(0x7FFF)
+    hi = packed >> jnp.uint32(15)
+    out = jnp.stack([lo, hi], axis=-1).reshape(
+        packed.shape[:-1] + (2 * packed.shape[-1],)
+    )
+    return out[..., :num_limbs]
