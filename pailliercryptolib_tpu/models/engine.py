@@ -23,6 +23,7 @@ from ..ops.dispatch import default_backend
 from ..ops.pallas_modexp import BATCH_TILE
 from ..ops.limbs import (
     LIMB_BITS,
+    ints_to_bytes_le,
     ints_to_limbs,
     ints_to_windows,
     limbs_for_bits,
@@ -98,15 +99,19 @@ class PublicEngine:
         # shared exponent n as windows for the normal obfuscator r^n mod n^2
         self.n_wins = jnp.asarray(ints_to_windows([n], self.nbits))
         self.randbits = randbits
+        self.hs_int = hs
         self.hs_limbs = (
             jnp.asarray(ints_to_limbs([hs], self.L2)[0]) if hs is not None else None
         )
 
         self._rns = None
+        self._fb = None
 
     def set_hs(self, hs: int) -> None:
+        self.hs_int = hs
         self.hs_limbs = jnp.asarray(ints_to_limbs([hs], self.L2)[0])
         self._rns = None  # hs residues must be rebuilt
+        self._fb = None
 
     @property
     def rns(self):
@@ -122,6 +127,26 @@ class PublicEngine:
             self._rns = (ctx, kc, conv)
         return self._rns
 
+    @property
+    def fixedbase(self):
+        """Lazy per-key fixed-base table for hs^r (ops/pallas_fixedbase.py):
+        (tablo, tabhi, NP).  Built once per key: a host square chain
+        g_i = hs^(2^(8 i)) mod n^2 feeds the device table kernel."""
+        if self._fb is None:
+            from ..ops.pallas_fixedbase import fb_num_windows
+
+            _, kc, conv = self.rns
+            NP = fb_num_windows(self.randbits)
+            g = [self.hs_int % self.nsquare]
+            for _ in range(NP - 1):
+                g.append(pow(g[-1], 256, self.nsquare))
+            g_limbs = jnp.asarray(ints_to_limbs(g, self.L2))
+            tablo, tabhi = pops.fb_table_stage(
+                g_limbs, kc, conv, interpret=_rns_interp(self.backend)
+            )
+            self._fb = (tablo, tabhi, NP)
+        return self._fb
+
     # -- pipelines ----------------------------------------------------------
 
     def encrypt_djn(self, m: Sequence[int], r: Sequence[int]) -> List[int]:
@@ -131,18 +156,26 @@ class PublicEngine:
         ebits = max(self.randbits, max_bitlength(r_p))
         nw = _round_windows(num_windows(ebits))
         m_a = jnp.asarray(ints_to_limbs(m_p, self.Ln))
-        r_w = jnp.asarray(ints_to_windows(r_p, nw * 4))
         n2_n, n2_n0inv, n2_r2, n2_one = self.n2_args
         if _is_rns(self.backend):
             _, kc, conv = self.rns
             interp = _rns_interp(self.backend)
             cios = "pallas_interpret" if interp else "pallas"
-            hs_b = jnp.broadcast_to(self.hs_limbs, (len(m_p), self.L2))
-            res = pops.rns_modexp_stage(hs_b, r_w, kc, interpret=interp)
+            tablo, tabhi, NP = self.fixedbase
+            if -(-ebits // 8) <= NP:  # exponents fit the table
+                r_b = jnp.asarray(ints_to_bytes_le(r_p, NP))
+                res = pops.rns_fb_modexp_stage(
+                    tablo, tabhi, r_b, kc, interpret=interp
+                )
+            else:  # injected oversized exponents: variable-base fallback
+                r_w = jnp.asarray(ints_to_windows(r_p, nw * 4))
+                hs_b = jnp.broadcast_to(self.hs_limbs, (len(m_p), self.L2))
+                res = pops.rns_modexp_stage(hs_b, r_w, kc, interpret=interp)
             obf = pops.rns_finalize_stage(res, conv, n2_n, self.L2)
             raw = pops.encrypt_noobf_op(m_a, self.n_limbs, n2_n)
             out = pops.mod_mul_stage(raw, obf, n2_n, n2_n0inv, n2_r2, backend=cios)
             return _download_limbs(out)[:size]
+        r_w = jnp.asarray(ints_to_windows(r_p, nw * 4))
         out = pops.encrypt_djn_op(
             m_a, r_w, self.n_limbs, n2_n, n2_n0inv, n2_r2, n2_one,
             self.hs_limbs, backend=self.backend,

@@ -161,6 +161,18 @@ def ints_to_windows(xs: Sequence[int], ebits: int) -> np.ndarray:
     return wins[:, ::-1].copy()  # most-significant window first (uint8)
 
 
+def ints_to_bytes_le(xs: Sequence[int], nbytes: int) -> np.ndarray:
+    """Exponents -> [batch, nbytes] uint8, LEAST-significant byte first.
+
+    The wire format of the fixed-base kernel (ops/pallas_fixedbase.py):
+    byte i is the 8-bit window of weight 2^(8*i)."""
+    batch = len(xs)
+    buf = bytearray(batch * nbytes)
+    for i, x in enumerate(xs):
+        buf[i * nbytes : (i + 1) * nbytes] = int(x).to_bytes(nbytes, "little")
+    return np.frombuffer(bytes(buf), np.uint8).reshape(batch, nbytes)
+
+
 def max_bitlength(xs: Iterable[int]) -> int:
     return max((int(x).bit_length() for x in xs), default=1)
 

@@ -357,6 +357,31 @@ def rns_modexp_stage(base, wins, kc, interpret=False):
     return pallas_rns_modexp(base[None], wins[None], kc, interpret=interpret)[0]
 
 
+@_rjit
+def fb_table_stage(g_limbs, kc, conv, interpret=False):
+    """Build the fixed-base table planes from g_limbs [NP, L]: canonical
+    limbs of g_i = base^(2^(8 i)) mod N (host-computed square chain).
+    Returns (tablo, tabhi): bf16 [1, NP, 256, K]."""
+    from .pallas_fixedbase import fb_digit_planes, pallas_fb_table
+    from .rns import limbs_to_rns, rns_mont_mul
+
+    res = limbs_to_rns(g_limbs, conv)  # [NP, K], values < N
+    gm = rns_mont_mul(res, conv["mont_sq"][None, :], conv)  # Montgomery form
+    table = pallas_fb_table(gm[None], kc, interpret=interpret)
+    return fb_digit_planes(table)
+
+
+@_rjit
+def rns_fb_modexp_stage(tablo, tabhi, win_bytes, kc, interpret=False):
+    """Fixed-base modexp: exponent bytes [B, NP] (LS first) -> residues
+    [B, K] of a representative <= 2N of base^e mod N."""
+    from .pallas_fixedbase import pallas_fb_modexp
+
+    return pallas_fb_modexp(
+        tablo, tabhi, win_bytes[None], kc, interpret=interpret
+    )[0]
+
+
 @functools.partial(jax.jit, static_argnames=("out_limbs",))
 def rns_finalize_stage(res, conv, n_limbs, out_limbs):
     return _rns_finalize(res, conv, n_limbs, out_limbs)

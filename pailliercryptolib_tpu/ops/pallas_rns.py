@@ -80,6 +80,86 @@ def _matmul_mod_planes(x, Tlo, Thi, m, mu):
     return barrett_reduce((t << DIGIT_BITS) + s_ll, m, mu)
 
 
+# Number of leading kernel refs holding the Montgomery-multiply constants
+# (shared by every RNS kernel: the windowed modexp here, and the fixed-base
+# table kernels in ops/pallas_fixedbase.py).
+_MM_NREFS = 21
+
+
+def _mm_cref(refs):
+    """Unpack the _MM_NREFS constant refs into the tuple _make_mont_mul
+    expects (dropping each ref's leading group axis)."""
+    (scal_ref, mods_ref, mu_ref, modsA_ref, muA_ref, modsBx_ref, muBx_ref,
+     modsB_ref, muB_ref, modsAr_ref, muAr_ref, sigmac_ref, inva_ref,
+     T1lo_ref, T1hi_ref, NB_ref, MAinvB_ref, MBjinv_ref, T2lo_ref, T2hi_ref,
+     MBmodA_ref) = refs
+    scal = scal_ref[0]  # [1, 4]: m_r, mu_r, MBinv_mr, (pad)
+    return (
+        mods_ref[0], mu_ref[0], modsA_ref[0], muA_ref[0], modsBx_ref[0],
+        muBx_ref[0], modsB_ref[0], muB_ref[0], modsAr_ref[0], muAr_ref[0],
+        sigmac_ref[0], inva_ref[0], T1lo_ref[0], T1hi_ref[0],
+        NB_ref[0], MAinvB_ref[0], MBjinv_ref[0], T2lo_ref[0], T2hi_ref[0],
+        MBmodA_ref[0], scal[:, 0:1], scal[:, 1:2], scal[:, 2:3],
+    )
+
+
+def _row_spec(width):
+    return pl.BlockSpec(
+        (1, 1, width), lambda *i: (i[0], 0, 0), memory_space=pltpu.VMEM
+    )
+
+
+def _mat_spec(r, ccount):
+    return pl.BlockSpec(
+        (1, r, ccount), lambda *i: (i[0], 0, 0), memory_space=pltpu.VMEM
+    )
+
+
+def _mm_args_specs(consts):
+    """Build the _MM_NREFS constant (args, in_specs) shared by RNS kernels.
+
+    All index maps take arbitrary grid arity and select only the group axis,
+    so the same plumbing serves grids (G, b), (G, b, i), and (G, j).
+    """
+    k = consts["neg_Ninv_A"].shape[-1]
+    mods, mu = consts["mods"], consts["barrett"]
+    G = mods.shape[0]
+    scal = jnp.stack(
+        [mods[:, -1], mu[:, -1], consts["MBinv_mr"], jnp.zeros((G,), _U32)],
+        axis=-1,
+    )[:, None, :]  # [G, 1, 4]
+    rows = [
+        mods, mu,  # full width K
+        mods[:, :k], mu[:, :k],  # base A
+        mods[:, k:], mu[:, k:],  # base B + m_r ("Bx")
+        mods[:, k : 2 * k], mu[:, k : 2 * k],  # base B
+        jnp.concatenate([mods[:, :k], mods[:, -1:]], -1),  # A + m_r ("Ar")
+        jnp.concatenate([mu[:, :k], mu[:, -1:]], -1),
+        consts["sigma_c_A"],
+    ]
+    rows2 = [consts["N_B"], consts["MAinv_B"], consts["MBj_inv_B"]]
+    rows3 = [consts["MB_mod_A"]]
+    args = (
+        [scal]
+        + [r[:, None, :] for r in rows]
+        + [consts["inv_a_f32"][:, None, :]]
+        + [consts["T1lo"], consts["T1hi"]]
+        + [r[:, None, :] for r in rows2]
+        + [consts["T2lo"], consts["T2hi"]]
+        + [r[:, None, :] for r in rows3]
+    )
+    specs = (
+        [_row_spec(4)]
+        + [_row_spec(r.shape[-1]) for r in rows]
+        + [_row_spec(k)]
+        + [_mat_spec(k + 1, k + 1)] * 2
+        + [_row_spec(r.shape[-1]) for r in rows2]
+        + [_mat_spec(k, k + 1)] * 2
+        + [_row_spec(r.shape[-1]) for r in rows3]
+    )
+    return args, specs
+
+
 def _make_mont_mul(cref):
     """Build the in-kernel Montgomery multiply.
 
@@ -141,31 +221,17 @@ def _limbs_to_res(xl, Cinlo, Cinhi, mods, mu):
     return acc
 
 
-def _rns_modexp_kernel(
-    scal_ref,  # VMEM row [1, 1, 4]: m_r, mu_r, MBinv_mr, (pad)
-    mods_ref, mu_ref, modsA_ref, muA_ref, modsBx_ref, muBx_ref, modsB_ref,
-    muB_ref, modsAr_ref, muAr_ref, sigmac_ref, inva_ref,
-    T1lo_ref, T1hi_ref, NB_ref, MAinvB_ref, MBjinv_ref,
-    T2lo_ref, T2hi_ref, MBmodA_ref, Cinlo_ref, Cinhi_ref, montsq_ref,
-    montone_ref, base_ref, win_ref, out_ref, table_ref,
-):
+def _rns_modexp_kernel(*refs):
+    mm_refs = refs[:_MM_NREFS]
+    (Cinlo_ref, Cinhi_ref, montsq_ref, montone_ref, base_ref, win_ref,
+     out_ref, table_ref) = refs[_MM_NREFS:]
+    mods_ref, mu_ref = mm_refs[1], mm_refs[2]
+
     K = montone_ref.shape[-1]
     Bt = base_ref.shape[-2]
     NW = win_ref.shape[-1]
 
-    scal = scal_ref[0]  # [1, 4]
-    m_r = scal[:, 0:1]
-    mu_r = scal[:, 1:2]
-    MBinv_mr = scal[:, 2:3]
-
-    cref = (
-        mods_ref[0], mu_ref[0], modsA_ref[0], muA_ref[0], modsBx_ref[0],
-        muBx_ref[0], modsB_ref[0], muB_ref[0], modsAr_ref[0], muAr_ref[0],
-        sigmac_ref[0], inva_ref[0], T1lo_ref[0], T1hi_ref[0],
-        NB_ref[0], MAinvB_ref[0], MBjinv_ref[0], T2lo_ref[0],
-        T2hi_ref[0], MBmodA_ref[0], m_r, mu_r, MBinv_mr,
-    )
-    mont_mul = _make_mont_mul(cref)
+    mont_mul = _make_mont_mul(_mm_cref(mm_refs))
 
     # in-kernel limbs -> residues conversion (two matmul planes)
     x = _limbs_to_res(
@@ -222,41 +288,9 @@ def pallas_rns_modexp(base_limbs, windows, consts, *, interpret=False,
     NW = windows.shape[-1]
     windows = windows.astype(_U32)  # uint8 on the wire, u32 in VMEM
     Bt = batch_tile
-    k = consts["neg_Ninv_A"].shape[-1]
     assert B % Bt == 0
 
-    mods, mu = consts["mods"], consts["barrett"]
-    scal = jnp.stack(
-        [mods[:, -1], mu[:, -1], consts["MBinv_mr"],
-         jnp.zeros((G,), _U32)], axis=-1,
-    )[:, None, :]  # [G, 1, 4]
-    rows = [
-        mods, mu,  # full width K
-        mods[:, :k], mu[:, :k],  # base A
-        mods[:, k:], mu[:, k:],  # base B + m_r ("Bx")
-        mods[:, k : 2 * k], mu[:, k : 2 * k],  # base B
-        jnp.concatenate([mods[:, :k], mods[:, -1:]], -1),  # A + m_r ("Ar")
-        jnp.concatenate([mu[:, :k], mu[:, -1:]], -1),
-        consts["sigma_c_A"],
-    ]
-    f32_rows = [consts["inv_a_f32"]]
-    rows2 = [
-        consts["N_B"], consts["MAinv_B"],
-        consts["MBj_inv_B"],
-    ]
-    rows3 = [consts["MB_mod_A"]]
     rows4 = [consts["mont_sq"], consts["mont_one"]]
-
-    def row_spec(width):
-        return pl.BlockSpec(
-            (1, 1, width), lambda g, b: (g, 0, 0), memory_space=pltpu.VMEM
-        )
-
-    def mat_spec(r, ccount):
-        return pl.BlockSpec(
-            (1, r, ccount), lambda g, b: (g, 0, 0), memory_space=pltpu.VMEM
-        )
-
     data = pl.BlockSpec(
         (1, Bt, K), lambda g, b: (g, b, 0), memory_space=pltpu.VMEM
     )
@@ -264,14 +298,9 @@ def pallas_rns_modexp(base_limbs, windows, consts, *, interpret=False,
         (1, Bt, NW), lambda g, b: (g, b, 0), memory_space=pltpu.VMEM
     )
 
+    mm_args, mm_specs = _mm_args_specs(consts)
     args = (
-        [scal]
-        + [r[:, None, :] for r in rows]
-        + [f32_rows[0][:, None, :]]
-        + [consts["T1lo"], consts["T1hi"]]
-        + [r[:, None, :] for r in rows2]
-        + [consts["T2lo"], consts["T2hi"]]
-        + [r[:, None, :] for r in rows3]
+        mm_args
         + [consts["Cinlo"], consts["Cinhi"]]
         + [r[:, None, :] for r in rows4]
         + [base_limbs, windows]
@@ -282,15 +311,9 @@ def pallas_rns_modexp(base_limbs, windows, consts, *, interpret=False,
         (1, Bt, L), lambda g, b: (g, b, 0), memory_space=pltpu.VMEM
     )
     in_specs = (
-        [row_spec(4)]
-        + [row_spec(r.shape[-1]) for r in rows]
-        + [row_spec(k)]
-        + [mat_spec(k + 1, k + 1)] * 2
-        + [row_spec(r.shape[-1]) for r in rows2]
-        + [mat_spec(k, k + 1)] * 2
-        + [row_spec(r.shape[-1]) for r in rows3]
-        + [mat_spec(L, K)] * 2
-        + [row_spec(r.shape[-1]) for r in rows4]
+        mm_specs
+        + [_mat_spec(L, K)] * 2
+        + [_row_spec(r.shape[-1]) for r in rows4]
         + [data_l, win_spec]
     )
     out = pl.pallas_call(
