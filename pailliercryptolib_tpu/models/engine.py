@@ -15,6 +15,7 @@ from __future__ import annotations
 import math
 from typing import List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -40,6 +41,38 @@ def _download_limbs(dev_arr) -> List[int]:
     packed = pops.pack_out_op(dev_arr)
     L = dev_arr.shape[-1]
     return limbs_to_ints(unpack_pairs_np(np.asarray(packed), L))
+
+
+class DevLimbs:
+    """A device-resident batch of canonical 15-bit limbs [Bp, L] plus the
+    live (unpadded) batch size.
+
+    This is what lets chained homomorphic pipelines stay on-chip: every
+    engine op accepts and returns DevLimbs, and the host list-of-ints view
+    materializes lazily (one packed download) only when .texts is read.
+    The reference's analog is keeping BigNumber buffers pinned in QAT NUMA
+    memory between calls (module/heqat/heqat/bnops.c:52-146) — here the
+    buffers simply stay in HBM as jax.Arrays.
+    """
+
+    __slots__ = ("arr", "size")
+
+    def __init__(self, arr, size: int):
+        self.arr = arr
+        self.size = size
+
+    def fetch(self) -> List[int]:
+        return _download_limbs(self.arr)[: self.size]
+
+    def sync(self) -> None:
+        """Block until the producing computation completed on device
+        (downloads a single element; jax.Array.block_until_ready is a
+        no-op on tunneled backends)."""
+        np.asarray(jax.device_get(self.arr[:1, :1]))
+
+
+def sync_device(dev: "DevLimbs") -> None:
+    dev.sync()
 
 
 def _upload_limbs(ints: Sequence[int], num_limbs: int):
@@ -147,20 +180,46 @@ class PublicEngine:
             self._fb = (tablo, tabhi, NP)
         return self._fb
 
-    # -- pipelines ----------------------------------------------------------
+    # -- operand normalization ------------------------------------------------
 
-    def encrypt_djn(self, m: Sequence[int], r: Sequence[int]) -> List[int]:
+    def _upload_narrow(self, xs: List[int]):
+        """Upload a batch using only the limbs that cover its widest value
+        (rounded to 8 to bound jit variants) — plaintexts are usually tiny
+        compared to n, so this shrinks the wire + codec cost ~17x."""
+        lm = -(-max_bitlength(xs) // LIMB_BITS)  # limbs covering widest value
+        Lm = min(self.Ln, max(8, -(-lm // 8) * 8))
+        return jnp.asarray(ints_to_limbs(xs, Lm))
+
+    def _ct_operand(self, x, fill: int):
+        """CipherText operand (DevLimbs or int list) -> ([Bp, L2] array, size)."""
+        if isinstance(x, DevLimbs):
+            return x.arr, x.size
+        xs = _pad_batch(list(x), fill, self.backend)
+        if self.backend == "xla":
+            return jnp.asarray(ints_to_limbs(xs, self.L2)), len(x)
+        return _upload_limbs(xs, self.L2), len(x)
+
+    def _cios(self) -> str:
+        if _rns_interp(self.backend):
+            return "pallas_interpret"
+        return "pallas" if _is_rns(self.backend) else self.backend
+
+    # -- pipelines ----------------------------------------------------------
+    #
+    # Every pipeline returns DevLimbs (device-resident canonical limbs);
+    # legacy list-returning wrappers materialize immediately.
+
+    def encrypt_djn_dev(self, m: Sequence[int], r: Sequence[int]) -> DevLimbs:
         size = len(m)
         m_p = _pad_batch(list(m), 0, self.backend)
         r_p = _pad_batch(list(r), 0, self.backend)
         ebits = max(self.randbits, max_bitlength(r_p))
         nw = _round_windows(num_windows(ebits))
-        m_a = jnp.asarray(ints_to_limbs(m_p, self.Ln))
+        m_a = self._upload_narrow(m_p)
         n2_n, n2_n0inv, n2_r2, n2_one = self.n2_args
         if _is_rns(self.backend):
             _, kc, conv = self.rns
             interp = _rns_interp(self.backend)
-            cios = "pallas_interpret" if interp else "pallas"
             tablo, tabhi, NP = self.fixedbase
             if -(-ebits // 8) <= NP:  # exponents fit the table
                 r_b = jnp.asarray(ints_to_bytes_le(r_p, NP))
@@ -173,83 +232,96 @@ class PublicEngine:
                 res = pops.rns_modexp_stage(hs_b, r_w, kc, interpret=interp)
             obf = pops.rns_finalize_stage(res, conv, n2_n, self.L2)
             raw = pops.encrypt_noobf_op(m_a, self.n_limbs, n2_n)
-            out = pops.mod_mul_stage(raw, obf, n2_n, n2_n0inv, n2_r2, backend=cios)
-            return _download_limbs(out)[:size]
+            out = pops.mod_mul_stage(
+                raw, obf, n2_n, n2_n0inv, n2_r2, backend=self._cios()
+            )
+            return DevLimbs(out, size)
         r_w = jnp.asarray(ints_to_windows(r_p, nw * 4))
         out = pops.encrypt_djn_op(
             m_a, r_w, self.n_limbs, n2_n, n2_n0inv, n2_r2, n2_one,
             self.hs_limbs, backend=self.backend,
         )
-        return limbs_to_ints(np.asarray(out))[:size]
+        return DevLimbs(out, size)
 
-    def encrypt_normal(self, m: Sequence[int], r: Sequence[int]) -> List[int]:
+    def encrypt_normal_dev(self, m: Sequence[int], r: Sequence[int]) -> DevLimbs:
         size = len(m)
         m_p = _pad_batch(list(m), 0, self.backend)
         r_p = _pad_batch(list(r), 1, self.backend)
-        m_a = jnp.asarray(ints_to_limbs(m_p, self.Ln))
+        m_a = self._upload_narrow(m_p)
         r_a = jnp.asarray(ints_to_limbs(r_p, self.L2))
         n2_n, n2_n0inv, n2_r2, n2_one = self.n2_args
         if _is_rns(self.backend):
             _, kc, conv = self.rns
             interp = _rns_interp(self.backend)
-            cios = "pallas_interpret" if interp else "pallas"
             wins = jnp.broadcast_to(
                 self.n_wins, (len(m_p), self.n_wins.shape[-1])
             )
             res = pops.rns_modexp_stage(r_a, wins, kc, interpret=interp)
             obf = pops.rns_finalize_stage(res, conv, n2_n, self.L2)
             raw = pops.encrypt_noobf_op(m_a, self.n_limbs, n2_n)
-            out = pops.mod_mul_stage(raw, obf, n2_n, n2_n0inv, n2_r2, backend=cios)
-            return _download_limbs(out)[:size]
+            out = pops.mod_mul_stage(
+                raw, obf, n2_n, n2_n0inv, n2_r2, backend=self._cios()
+            )
+            return DevLimbs(out, size)
         out = pops.encrypt_normal_op(
-                m_a, r_a, self.n_wins, self.n_limbs, n2_n, n2_n0inv, n2_r2,
-                n2_one, backend=self.backend,
-            )
-        return limbs_to_ints(np.asarray(out))[:size]
-
-    def encrypt_noobf(self, m: Sequence[int]) -> List[int]:
-        size = len(m)
-        m_p = _pad_batch(list(m), 0)
-        m_a = jnp.asarray(ints_to_limbs(m_p, self.Ln))
-        out = pops.encrypt_noobf_op(m_a, self.n_limbs, self.n2_args[0])
-        return limbs_to_ints(np.asarray(out))[:size]
-
-    def add_ctct(self, a: Sequence[int], b: Sequence[int]) -> List[int]:
-        size = len(a)
-        a_a = jnp.asarray(ints_to_limbs(_pad_batch(list(a), 0, self.backend), self.L2))
-        b_a = jnp.asarray(ints_to_limbs(_pad_batch(list(b), 1, self.backend), self.L2))
-        n2_n, n2_n0inv, n2_r2, _ = self.n2_args
-        add_backend = self.backend
-        if _is_rns(add_backend):  # addition has no modexp; use CIOS kernel
-            add_backend = (
-                "pallas_interpret" if _rns_interp(add_backend) else "pallas"
-            )
-        out = pops.add_ctct_op(
-            a_a, b_a, n2_n, n2_n0inv, n2_r2, backend=add_backend
+            m_a, r_a, self.n_wins, self.n_limbs, n2_n, n2_n0inv, n2_r2,
+            n2_one, backend=self.backend,
         )
-        return limbs_to_ints(np.asarray(out))[:size]
+        return DevLimbs(out, size)
 
-    def mul_ctpt(self, ct: Sequence[int], pt: Sequence[int]) -> List[int]:
-        size = len(ct)
-        ct_p = _pad_batch(list(ct), 1, self.backend)
+    def encrypt_noobf_dev(self, m: Sequence[int]) -> DevLimbs:
+        size = len(m)
+        m_p = _pad_batch(list(m), 0, self.backend)
+        m_a = self._upload_narrow(m_p)
+        out = pops.encrypt_noobf_op(m_a, self.n_limbs, self.n2_args[0])
+        return DevLimbs(out, size)
+
+    def add_ctct_dev(self, a, b) -> DevLimbs:
+        a_a, size = self._ct_operand(a, 0)
+        b_a, b_size = self._ct_operand(b, 1)
+        if b_size == 1 and size != 1:
+            b_a = jnp.broadcast_to(b_a[:1], a_a.shape)
+        n2_n, n2_n0inv, n2_r2, _ = self.n2_args
+        out = pops.add_ctct_op(
+            a_a, b_a, n2_n, n2_n0inv, n2_r2, backend=self._cios()
+        )
+        return DevLimbs(out, size)
+
+    def mul_ctpt_dev(self, ct, pt: Sequence[int]) -> DevLimbs:
+        ct_a, size = self._ct_operand(ct, 1)
         pt_p = _pad_batch(list(pt), 0, self.backend)
         nw = _round_windows(num_windows(max_bitlength(pt_p)))
-        if _is_rns(self.backend) or self.backend.startswith("pallas"):
-            ct_a = _upload_limbs(ct_p, self.L2)
-        else:
-            ct_a = jnp.asarray(ints_to_limbs(ct_p, self.L2))
         pt_w = jnp.asarray(ints_to_windows(pt_p, nw * 4))
+        if pt_w.shape[0] == 1 and ct_a.shape[0] != 1:
+            pt_w = jnp.broadcast_to(pt_w, (ct_a.shape[0], pt_w.shape[-1]))
         n2_n, n2_n0inv, n2_r2, n2_one = self.n2_args
         if _is_rns(self.backend):
             _, kc, conv = self.rns
             interp = _rns_interp(self.backend)
             res = pops.rns_modexp_stage(ct_a, pt_w, kc, interpret=interp)
             out = pops.rns_finalize_stage(res, conv, n2_n, self.L2)
-            return _download_limbs(out)[:size]
+            return DevLimbs(out, size)
         out = pops.mul_ctpt_op(
-                ct_a, pt_w, n2_n, n2_n0inv, n2_r2, n2_one, backend=self.backend
-            )
-        return limbs_to_ints(np.asarray(out))[:size]
+            ct_a, pt_w, n2_n, n2_n0inv, n2_r2, n2_one, backend=self.backend
+        )
+        return DevLimbs(out, size)
+
+    # -- legacy list-returning wrappers --------------------------------------
+
+    def encrypt_djn(self, m, r) -> List[int]:
+        return self.encrypt_djn_dev(m, r).fetch()
+
+    def encrypt_normal(self, m, r) -> List[int]:
+        return self.encrypt_normal_dev(m, r).fetch()
+
+    def encrypt_noobf(self, m) -> List[int]:
+        return self.encrypt_noobf_dev(m).fetch()
+
+    def add_ctct(self, a, b) -> List[int]:
+        return self.add_ctct_dev(a, b).fetch()
+
+    def mul_ctpt(self, ct, pt) -> List[int]:
+        return self.mul_ctpt_dev(ct, pt).fetch()
 
 
 class PrivateEngine:
@@ -361,13 +433,25 @@ class PrivateEngine:
             self._rns_raw = (stack_group_consts([ctx]), ctx.device_consts())
         return self._rns_raw
 
-    def decrypt_crt(self, ct: Sequence[int]) -> List[int]:
-        size = len(ct)
+    def _ct_operand(self, ct, width: int):
+        """Decrypt input (DevLimbs or int list) -> ([Bp, width] array, size)."""
+        if isinstance(ct, DevLimbs):
+            arr, size = ct.arr, ct.size
+            pad = width - arr.shape[-1]
+            if pad > 0:
+                arr = jnp.concatenate(
+                    [arr, jnp.zeros(arr.shape[:-1] + (pad,), jnp.uint32)], -1
+                )
+            elif pad < 0:
+                raise ValueError("ciphertext limbs wider than decrypt expects")
+            return arr, size
         ct_p = _pad_batch(list(ct), 1, self.backend)
         if self.backend != "xla":
-            ct_a = _upload_limbs(ct_p, 2 * self.Lp2)
-        else:
-            ct_a = jnp.asarray(ints_to_limbs(ct_p, 2 * self.Lp2))
+            return _upload_limbs(ct_p, width), len(ct)
+        return jnp.asarray(ints_to_limbs(ct_p, width)), len(ct)
+
+    def decrypt_crt_dev(self, ct) -> DevLimbs:
+        ct_a, size = self._ct_operand(ct, 2 * self.Lp2)
         if _is_rns(self.backend):
             kc2, conv2 = self.rns_crt
             out = pops.decrypt_crt_rns_op(
@@ -396,15 +480,10 @@ class PrivateEngine:
                 self.p_limbs,
                 backend=self.backend,
             )
-        return limbs_to_ints(np.asarray(out))[:size]
+        return DevLimbs(out, size)
 
-    def decrypt_raw(self, ct: Sequence[int]) -> List[int]:
-        size = len(ct)
-        ct_a = jnp.asarray(
-            ints_to_limbs(
-                _pad_batch(list(ct), 1, self.backend), self.mont_n2.num_limbs
-            )
-        )
+    def decrypt_raw_dev(self, ct) -> DevLimbs:
+        ct_a, size = self._ct_operand(ct, self.mont_n2.num_limbs)
         n2_n, n2_n0inv, n2_r2, n2_one = self.mont_n2.as_device_args()
         n_n, n_n0inv, n_r2, _ = self.mont_n.as_device_args()
         if _is_rns(self.backend):
@@ -435,4 +514,12 @@ class PrivateEngine:
                 n_r2,
                 backend=self.backend,
             )
-        return limbs_to_ints(np.asarray(out))[:size]
+        return DevLimbs(out, size)
+
+    # -- legacy list-returning wrappers --------------------------------------
+
+    def decrypt_crt(self, ct) -> List[int]:
+        return self.decrypt_crt_dev(ct).fetch()
+
+    def decrypt_raw(self, ct) -> List[int]:
+        return self.decrypt_raw_dev(ct).fetch()

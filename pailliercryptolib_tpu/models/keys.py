@@ -112,7 +112,7 @@ class PublicKey:
         # m >= n embeds identically to m mod n: n*m+1 = n*(m mod n)+1 mod n^2.
         m = [v % self.n for v in pt.texts]
         if not make_secure:
-            return CipherText(self, self._engine.encrypt_noobf(m))
+            return CipherText(self, self._engine.encrypt_noobf_dev(m))
         if self._testv:
             if len(self._test_r) < size:
                 raise ValueError("setRandom: not enough injected obfuscator values")
@@ -123,9 +123,9 @@ class PublicKey:
             # r uniform in [1, n-1] (ipcl/pub_key.cpp:74-77)
             r = [v % (self.n - 1) + 1 for v in _rng.batch_random_bits(size, self.bits)]
         if self.enable_djn_flag:
-            ct = self._engine.encrypt_djn(m, r)
+            ct = self._engine.encrypt_djn_dev(m, r)
         else:
-            ct = self._engine.encrypt_normal(m, r)
+            ct = self._engine.encrypt_normal_dev(m, r)
         return CipherText(self, ct)
 
     # -- misc ---------------------------------------------------------------
@@ -206,9 +206,9 @@ class PrivateKey:
         if len(ct) == 0:
             raise ValueError("decrypt: Cannot decrypt empty CipherText")
         if self.enable_crt:
-            out = self._engine.decrypt_crt(ct.texts)
+            out = self._engine.decrypt_crt_dev(ct.device_payload())
         else:
-            out = self._engine.decrypt_raw(ct.texts)
+            out = self._engine.decrypt_raw_dev(ct.device_payload())
         return PlainText(out)
 
     def __eq__(self, other) -> bool:

@@ -29,6 +29,12 @@ def _to_int_list(value) -> List[int]:
     raise TypeError(f"cannot build text container from {type(value)!r}")
 
 
+def _is_dev(value) -> bool:
+    from .engine import DevLimbs
+
+    return isinstance(value, DevLimbs)
+
+
 def int_to_hex(x: int) -> str:
     """Lowercase 0x-prefixed hex, no leading zeros (num2hex format)."""
     if x < 0:
@@ -48,19 +54,62 @@ def int_to_u32_vec(x: int) -> List[int]:
 
 
 class BaseText:
-    """Vector-of-bignum container (reference: ipcl/base_text.hpp:14-118)."""
+    """Vector-of-bignum container (reference: ipcl/base_text.hpp:14-118).
 
-    __slots__ = ("texts",)
+    May be backed by a device-resident limb batch (engine.DevLimbs) instead
+    of host ints: chained homomorphic pipelines then stay on-chip, and the
+    host list materializes lazily — one packed download — on first access
+    to ``.texts``.  All semantics (element access, mutation, equality,
+    serialization) are unchanged; mutation drops the device backing.
+    """
+
+    __slots__ = ("_texts", "_dev")
 
     def __init__(self, value: Union[int, Sequence[int], "BaseText"] = ()):
-        self.texts: List[int] = _to_int_list(value)
+        if _is_dev(value):
+            self._texts: List[int] = None
+            self._dev = value
+        elif isinstance(value, BaseText):
+            self._texts = list(value._texts) if value._texts is not None else None
+            self._dev = value._dev
+        else:
+            self._texts = _to_int_list(value)
+            self._dev = None
+
+    @property
+    def texts(self) -> List[int]:
+        if self._texts is None:
+            self._texts = self._dev.fetch()
+        return self._texts
+
+    @texts.setter
+    def texts(self, value) -> None:
+        self._texts = [int(v) for v in value]
+        self._dev = None
+
+    def device_payload(self):
+        """The DevLimbs backing if still valid, else the host int list."""
+        return self._dev if self._dev is not None else self.texts
+
+    def block_until_ready(self) -> None:
+        """Wait for the producing device computation (throughput timing
+        hook; does NOT download the batch)."""
+        if self._dev is not None:
+            self._dev.sync()
+
+    def _mutate(self) -> List[int]:
+        t = self.texts  # materialize first
+        self._dev = None  # host edit diverges from the device copy
+        return t
 
     # --- container protocol -------------------------------------------------
     def __len__(self) -> int:
-        return len(self.texts)
+        if self._texts is None:
+            return self._dev.size
+        return len(self._texts)
 
     def get_size(self) -> int:
-        return len(self.texts)
+        return len(self)
 
     def __getitem__(self, idx):
         return self.texts[idx]
@@ -87,16 +136,16 @@ class BaseText:
     def insert(self, pos: int, value: int) -> None:
         if not 0 <= pos <= len(self.texts):
             raise IndexError("insert position is out of range")
-        self.texts.insert(pos, int(value))
+        self._mutate().insert(pos, int(value))
 
     def remove(self, pos: int, length: int = 1) -> None:
         # mirrors the reference's strict bound (ipcl/base_text.cpp:57-66)
         if not (0 <= pos and pos + length < len(self.texts)):
             raise IndexError("remove position is out of range")
-        del self.texts[pos : pos + length]
+        del self._mutate()[pos : pos + length]
 
     def clear(self) -> None:
-        self.texts.clear()
+        self._mutate().clear()
 
     def _rotated(self, shift: int) -> List[int]:
         size = len(self.texts)
@@ -150,14 +199,13 @@ class CipherText(BaseText):
 
     def __add__(self, other) -> "CipherText":
         if isinstance(other, CipherText):
-            a, b = self.texts, other.texts
-            if not (len(a) == len(b) or len(b) == 1):
+            if not (len(self) == len(other) or len(other) == 1):
                 raise ValueError("CT + CT error: Size mismatch!")
             if self.public_key.n != other.public_key.n:
                 raise ValueError("CT + CT error: 2 different public keys detected!")
-            if len(b) == 1 and len(a) != 1:
-                b = b * len(a)
-            out = self.public_key._engine.add_ctct(a, b)
+            out = self.public_key._engine.add_ctct_dev(
+                self.device_payload(), other.device_payload()
+            )
             return CipherText(self.public_key, out)
         if isinstance(other, PlainText):
             # encrypt the plaintext WITHOUT obfuscation, then CT+CT
@@ -168,12 +216,12 @@ class CipherText(BaseText):
 
     def __mul__(self, other) -> "CipherText":
         if isinstance(other, PlainText):
-            a, b = self.texts, other.texts
-            if not (len(a) == len(b) or len(b) == 1):
+            b = other.texts
+            if not (len(self) == len(b) or len(b) == 1):
                 raise ValueError("CT * PT error: Size mismatch!")
-            if len(b) == 1 and len(a) != 1:
-                b = b * len(a)
-            out = self.public_key._engine.mul_ctpt(a, b)
+            if len(b) == 1 and len(self) != 1:
+                b = b * len(self)
+            out = self.public_key._engine.mul_ctpt_dev(self.device_payload(), b)
             return CipherText(self.public_key, out)
         return NotImplemented
 

@@ -62,9 +62,17 @@ def _raw_encrypt(m, n_limbs, L2):
 
     Exploits g = n+1 exactly as the reference does (ipcl/pub_key.cpp:99-110):
     (n+1)^m = 1 + n*m mod n^2, so plaintext embedding costs one shared-operand
-    product instead of a modexp.
+    product instead of a modexp.  ``m`` may arrive narrower than n (callers
+    upload only the limbs that cover the widest plaintext in the batch).
     """
-    raw = mul_shared(n_limbs, m)[..., :L2]  # [B, L2]; value < n^2
+    raw = mul_shared(n_limbs, m)  # [B, Ln+Lm]; value < n^2
+    pad = L2 - raw.shape[-1]
+    if pad > 0:
+        raw = jnp.concatenate(
+            [raw, jnp.zeros(raw.shape[:-1] + (pad,), _U32)], axis=-1
+        )
+    else:
+        raw = raw[..., :L2]
     # +1 keeps digit 0 <= 2**15: safe redundant input for mont_mul.
     return raw.at[..., 0].add(_U32(1))
 
