@@ -151,11 +151,11 @@ class PublicEngine:
         """Lazy RNS machinery for n^2: (context, kernel consts, conversion
         consts, hs residues)."""
         if self._rns is None:
-            from ..ops.pallas_rns import stack_group_consts
+            from ..ops.pallas_rns2 import stack_group_consts2
             from ..ops.rns import RNSContext
 
             ctx = RNSContext.create(self.nsquare, in_limbs=self.L2)
-            kc = stack_group_consts([ctx])
+            kc = stack_group_consts2([ctx])
             conv = ctx.device_consts()
             self._rns = (ctx, kc, conv)
         return self._rns
@@ -166,7 +166,11 @@ class PublicEngine:
         (tablo, tabhi, NP).  Built once per key: a host square chain
         g_i = hs^(2^(8 i)) mod n^2 feeds the device table kernel."""
         if self._fb is None:
-            from ..ops.pallas_fixedbase import fb_num_windows
+            from ..ops.pallas_rns2 import FB_WINDOW_BITS
+
+            def fb_num_windows(ebits):
+                nbytes = -(-ebits // FB_WINDOW_BITS)
+                return max(8, -(-nbytes // 8) * 8)
 
             _, kc, conv = self.rns
             NP = fb_num_windows(self.randbits)
@@ -174,10 +178,10 @@ class PublicEngine:
             for _ in range(NP - 1):
                 g.append(pow(g[-1], 256, self.nsquare))
             g_limbs = jnp.asarray(ints_to_limbs(g, self.L2))
-            tablo, tabhi = pops.fb_table_stage(
+            planes = pops.fb_table_stage(
                 g_limbs, kc, conv, interpret=_rns_interp(self.backend)
             )
-            self._fb = (tablo, tabhi, NP)
+            self._fb = (planes, NP)
         return self._fb
 
     # -- operand normalization ------------------------------------------------
@@ -220,11 +224,11 @@ class PublicEngine:
         if _is_rns(self.backend):
             _, kc, conv = self.rns
             interp = _rns_interp(self.backend)
-            tablo, tabhi, NP = self.fixedbase
+            planes, NP = self.fixedbase
             if -(-ebits // 8) <= NP:  # exponents fit the table
                 r_b = jnp.asarray(ints_to_bytes_le(r_p, NP))
                 res = pops.rns_fb_modexp_stage(
-                    tablo, tabhi, r_b, kc, interpret=interp
+                    planes, r_b, kc, interpret=interp
                 )
             else:  # injected oversized exponents: variable-base fallback
                 r_w = jnp.asarray(ints_to_windows(r_p, nw * 4))
@@ -253,10 +257,10 @@ class PublicEngine:
         if _is_rns(self.backend):
             _, kc, conv = self.rns
             interp = _rns_interp(self.backend)
-            wins = jnp.broadcast_to(
-                self.n_wins, (len(m_p), self.n_wins.shape[-1])
+            # the exponent (n) is shared by every row: SMEM shared-window path
+            res = pops.rns_modexp_shared_stage(
+                r_a, self.n_wins, kc, interpret=interp
             )
-            res = pops.rns_modexp_stage(r_a, wins, kc, interpret=interp)
             obf = pops.rns_finalize_stage(res, conv, n2_n, self.L2)
             raw = pops.encrypt_noobf_op(m_a, self.n_limbs, n2_n)
             out = pops.mod_mul_stage(
@@ -292,15 +296,21 @@ class PublicEngine:
         pt_p = _pad_batch(list(pt), 0, self.backend)
         nw = _round_windows(num_windows(max_bitlength(pt_p)))
         pt_w = jnp.asarray(ints_to_windows(pt_p, nw * 4))
-        if pt_w.shape[0] == 1 and ct_a.shape[0] != 1:
-            pt_w = jnp.broadcast_to(pt_w, (ct_a.shape[0], pt_w.shape[-1]))
+        shared_pt = pt_w.shape[0] == 1 and ct_a.shape[0] != 1
         n2_n, n2_n0inv, n2_r2, n2_one = self.n2_args
         if _is_rns(self.backend):
             _, kc, conv = self.rns
             interp = _rns_interp(self.backend)
-            res = pops.rns_modexp_stage(ct_a, pt_w, kc, interpret=interp)
+            if shared_pt:  # one plaintext scalar: shared-exponent kernel
+                res = pops.rns_modexp_shared_stage(
+                    ct_a, pt_w, kc, interpret=interp
+                )
+            else:
+                res = pops.rns_modexp_stage(ct_a, pt_w, kc, interpret=interp)
             out = pops.rns_finalize_stage(res, conv, n2_n, self.L2)
             return DevLimbs(out, size)
+        if shared_pt:
+            pt_w = jnp.broadcast_to(pt_w, (ct_a.shape[0], pt_w.shape[-1]))
         out = pops.mul_ctpt_op(
             ct_a, pt_w, n2_n, n2_n0inv, n2_r2, n2_one, backend=self.backend
         )
@@ -402,7 +412,7 @@ class PrivateEngine:
         if self._rns_crt is None:
             import jax as _jax
 
-            from ..ops.pallas_rns import stack_group_consts
+            from ..ops.pallas_rns2 import stack_group_consts2
             from ..ops.rns import GUARD_FACTOR, RNSContext
 
             bits = 2 * self._pbits + GUARD_FACTOR.bit_length()
@@ -412,7 +422,7 @@ class PrivateEngine:
             cq = RNSContext.create(
                 self._q * self._q, in_limbs=self.Lp2, product_bits=bits
             )
-            kc2 = stack_group_consts([cp, cq])
+            kc2 = stack_group_consts2([cp, cq])
             conv2 = _jax.tree.map(
                 lambda a, b: jnp.stack([jnp.asarray(a), jnp.asarray(b)]),
                 cp.device_consts(), cq.device_consts(),
@@ -424,13 +434,13 @@ class PrivateEngine:
     def rns_raw(self):
         """RNS machinery for the RAW path (modulus n^2)."""
         if self._rns_raw is None:
-            from ..ops.pallas_rns import stack_group_consts
+            from ..ops.pallas_rns2 import stack_group_consts2
             from ..ops.rns import RNSContext
 
             ctx = RNSContext.create(
                 self.n * self.n, in_limbs=self.mont_n2.num_limbs
             )
-            self._rns_raw = (stack_group_consts([ctx]), ctx.device_consts())
+            self._rns_raw = (stack_group_consts2([ctx]), ctx.device_consts())
         return self._rns_raw
 
     def _ct_operand(self, ct, width: int):
@@ -490,10 +500,9 @@ class PrivateEngine:
             kc, conv = self.rns_raw
             interp = _rns_interp(self.backend)
             cios = "pallas_interpret" if interp else "pallas"
-            wins = jnp.broadcast_to(
-                self.lam_wins, (ct_a.shape[0], self.lam_wins.shape[-1])
+            res_r = pops.rns_modexp_shared_stage(
+                ct_a, self.lam_wins, kc, interpret=interp
             )
-            res_r = pops.rns_modexp_stage(ct_a, wins, kc, interpret=interp)
             res = pops.rns_finalize_stage(res_r, conv, n2_n, n2_n.shape[-1])
             out = pops.hensel_post_stage(
                 res, self.hensel_n, self.x_limbs, n_n, n_n0inv, n_r2,

@@ -217,6 +217,12 @@ def mul_ctpt_op(ct, pt_wins, n2_n, n2_n0inv, n2_r2, n2_one, backend="xla"):
 # ---------------------------------------------------------------------------
 
 from .pallas_rns import pallas_rns_modexp  # noqa: E402
+from .pallas_rns2 import (  # noqa: E402
+    fb_digit_planes2,
+    pallas_fb_modexp2,
+    pallas_fb_table2,
+    pallas_rns_modexp2,
+)
 from .rns import rns_to_limbs  # noqa: E402
 
 _rjit = functools.partial(jax.jit, static_argnames=("interpret",))
@@ -305,11 +311,12 @@ def decrypt_crt_rns_op(
         bases, plain_one[None, None, :], sq_n, sq_n0inv, sq_r2, cios
     )  # canonical, < h^2
 
-    # stage 2: grouped RNS modexp (limbs in, residues out)
-    wins = jnp.broadcast_to(
-        exp_wins, (two, bases.shape[1], exp_wins.shape[-1])
+    # stage 2: grouped RNS modexp (limbs in, residues out); the exponents
+    # (p-1, q-1) are shared by every row, so the SMEM shared-window kernel
+    # applies (no per-row window selects)
+    res_rns = pallas_rns_modexp2(
+        bases, exp_wins[:, 0], kc2, shared=True, interpret=interpret
     )
-    res_rns = pallas_rns_modexp(bases, wins, kc2, interpret=interpret)
     res = jax.vmap(_rns_finalize, in_axes=(0, 0, 0, None))(
         res_rns, conv2, sq_n, Lp2
     )  # [2, B, Lp2] canonical < h^2
@@ -337,11 +344,11 @@ def decrypt_raw_rns_op(
     ct, lam_wins, n2_n, hensel_n, x_limbs, n_n, n_n0inv, n_r2, kc, conv,
     interpret=False,
 ):
-    """RAW decrypt with c^lambda on the RNS kernel."""
+    """RAW decrypt with c^lambda on the RNS kernel (shared exponent)."""
     Ln = n_n.shape[-1]
-    B = ct.shape[0]
-    wins = jnp.broadcast_to(lam_wins, (B, lam_wins.shape[-1]))
-    out_res = pallas_rns_modexp(ct[None], wins[None], kc, interpret=interpret)[0]
+    out_res = pallas_rns_modexp2(
+        ct[None], lam_wins, kc, shared=True, interpret=interpret
+    )[0]
     res = _rns_finalize(out_res, conv, n2_n, n2_n.shape[-1])
     xm1 = sub_scalar(res, 1)
     t = mul_low(hensel_n, xm1, Ln)
@@ -361,32 +368,43 @@ def decrypt_raw_rns_op(
 
 @_rjit
 def rns_modexp_stage(base, wins, kc, interpret=False):
-    """Single-group RNS modexp: limbs [B, L] -> residues [B, K]."""
-    return pallas_rns_modexp(base[None], wins[None], kc, interpret=interpret)[0]
+    """Single-group RNS modexp, per-row windows: limbs [B, L] -> [B, K]."""
+    return pallas_rns_modexp2(
+        base[None], wins[None], kc, interpret=interpret
+    )[0]
+
+
+@_rjit
+def rns_modexp_shared_stage(base, wins, kc, interpret=False):
+    """Single-group RNS modexp with ONE exponent for every row (SMEM
+    shared-window kernel): base [B, L], wins [1, NW] -> [B, K]."""
+    return pallas_rns_modexp2(
+        base[None], wins, kc, shared=True, interpret=interpret
+    )[0]
 
 
 @_rjit
 def fb_table_stage(g_limbs, kc, conv, interpret=False):
     """Build the fixed-base table planes from g_limbs [NP, L]: canonical
     limbs of g_i = base^(2^(8 i)) mod N (host-computed square chain).
-    Returns (tablo, tabhi): bf16 [1, NP, 256, K]."""
-    from .pallas_fixedbase import fb_digit_planes, pallas_fb_table
+    Returns (tAlo, tAhi, tBlo, tBhi): bf16 [1, NP, 256, k(+1)]."""
     from .rns import limbs_to_rns, rns_mont_mul
 
+    k = kc["sig0"].shape[-1]
     res = limbs_to_rns(g_limbs, conv)  # [NP, K], values < N
     gm = rns_mont_mul(res, conv["mont_sq"][None, :], conv)  # Montgomery form
-    table = pallas_fb_table(gm[None], kc, interpret=interpret)
-    return fb_digit_planes(table)
+    tabA, tabB = pallas_fb_table2(
+        gm[None, :, :k], gm[None, :, k:], kc, interpret=interpret
+    )
+    return fb_digit_planes2(tabA, tabB)
 
 
 @_rjit
-def rns_fb_modexp_stage(tablo, tabhi, win_bytes, kc, interpret=False):
+def rns_fb_modexp_stage(planes, win_bytes, kc, interpret=False):
     """Fixed-base modexp: exponent bytes [B, NP] (LS first) -> residues
     [B, K] of a representative <= 2N of base^e mod N."""
-    from .pallas_fixedbase import pallas_fb_modexp
-
-    return pallas_fb_modexp(
-        tablo, tabhi, win_bytes[None], kc, interpret=interpret
+    return pallas_fb_modexp2(
+        *planes, win_bytes[None], kc, interpret=interpret
     )[0]
 
 

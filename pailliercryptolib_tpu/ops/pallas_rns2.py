@@ -1,0 +1,646 @@
+"""Fused-constant RNS Montgomery modexp kernels, v2.
+
+Same Bajard-Imbert algorithm as ops/pallas_rns.py (v1) with the VPU side
+restructured around measured costs (v1 on a v5e: 46 ms plumbing + 32 ms
+Barrett chains + 16 ms MXU per 2048-element CRT-decrypt batch, zero
+overlap).  Differences from v1, in decreasing order of measured impact:
+
+1. The two RNS bases live in SEPARATE arrays (x_A [Bt, k], x_B [Bt, k+1])
+   instead of one [Bt, K]: v1 paid a lane-relayout for ``s[:, k:]`` and a
+   concat per Montgomery multiply (offset-149 slices shift every vreg).
+2. The full-K reduction of s = x*y is GONE: the raw 28-bit product is split
+   once (hi = u >> 14, lo = u & mask) and every consumer gets the 2^14
+   factor folded into its per-lane constant (sigma and r are linear in s).
+3. N * M_A^{-1} mod b is folded into the T1 matmul weights, so the
+   (s + q_hat*N) Barrett and the *M_A^{-1} multiply collapse into ONE fused
+   reduction: r_B = red(u_hi*c1 + u_lo*c0 + q2 + alpha*c_a).
+4. Each matmul-mod keeps only its FIRST Barrett; the second is deferred
+   into the consumer's fused reduction (bounds stay < 2^29.1, see the
+   inline bound notes).
+5. The Shenoy correction is one fused Barrett: r_A = red(ext' + 2^15*a
+   - alpha2 * (M_B mod a)) — the 2^15*a row keeps the subtraction
+   non-negative.
+6. Conditional subtracts use uint wraparound: min(r, r - c*m) replaces
+   where(r >= c*m, ...), 2 ops instead of 3.
+7. Karatsuba digit planes: 3 MXU matmuls per base extension instead of 4
+   (sum plane entries <= 254, exact in bf16).
+8. A shared-exponent kernel variant keeps the windows in SMEM and gathers
+   the table row by scalar index — decrypt exponents (p-1, q-1), RAW
+   lambda, and normal-mode n are the same for every batch row, so the
+   16-way vector select and the window roll disappear.
+
+Numerical contracts (checked in tests/test_rns_backend.py against pow()):
+moduli in (2^13, 2^14); residues canonical (< m) between multiplies;
+represented values < 3N; fused Barrett inputs < 2^29.1 with quotient error
+< 6 (three min-layers: 4m, 2m, m handle < 8m).
+
+Reference anchor: this is the TPU replacement for the reference's entire
+modexp acceleration stack (ipcl/mod_exp.cpp:446-533 mbx_exp_mb8 and the QAT
+pipeline, module/heqat/heqat/bnops.c).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .limbs import WINDOW_BITS
+from .rns import ALPHA_MARGIN, DIGIT_BITS, DIGIT_MASK, MOD_BITS
+
+_U32 = jnp.uint32
+_I32 = jnp.int32
+_F32 = jnp.float32
+_BF16 = jnp.bfloat16
+BATCH_TILE = 128
+_TABLE = 1 << WINDOW_BITS
+_MASK14 = (1 << MOD_BITS) - 1
+
+FB_WINDOW_BITS = 8
+FB_TABLE = 1 << FB_WINDOW_BITS
+
+
+def _red_mu(v, m, mu):
+    """Fused Barrett: v < 2^29.2 -> v mod m (m in (2^13,2^14), mu=2^28/m).
+
+    Quotient error < 6 at this bound, so r < 8m after the estimate; the
+    4m/2m/m conditional-subtract chain canonicalizes.  (Mosaic cannot lower
+    unsigned min, so these stay where-selects.)"""
+    q = ((v >> MOD_BITS) * mu) >> MOD_BITS
+    r = v - q * m
+    m4 = m << 2
+    m2 = m << 1
+    r = jnp.where(r >= m4, r - m4, r)
+    r = jnp.where(r >= m2, r - m2, r)
+    r = jnp.where(r >= m, r - m, r)
+    return r
+
+
+def _mulmod(x, y, m, mu):
+    return _red_mu(x * y, m, mu)
+
+
+def _mm(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=_F32
+    )
+
+
+def _planes3(x):
+    """u32 (< 2^14) -> Karatsuba digit planes (lo, hi, lo+hi) in bf16."""
+    lo_i = (x & DIGIT_MASK).astype(_I32)
+    hi_i = (x >> DIGIT_BITS).astype(_I32)
+    return lo_i.astype(_BF16), hi_i.astype(_BF16), (lo_i + hi_i).astype(_BF16)
+
+
+def _to_u32(xf):
+    return xf.astype(_I32).astype(_U32)
+
+
+def _to_bf16(x):
+    return x.astype(_I32).astype(_BF16)
+
+
+# Karatsuba's sum plane accumulates 254^2-sized products: exact in f32 only
+# while 254^2 * terms < 2^24, i.e. contraction length <= _KARATSUBA_MAX_K.
+_KARATSUBA_MAX_K = (1 << 24) // (254 * 254)  # 260
+
+
+def _mm3_raw(x, Tlo, Thi, Tsum, m, mu):
+    """(x @ T) with T pre-split into digit planes; returns the HALF-reduced
+    value t1*2^7 + ll < 2^22.4 (congruent mod m columnwise).  The final
+    reduction is deferred to the consumer's fused Barrett.
+
+    Uses the 3-matmul Karatsuba form when the contraction is short enough
+    for the sum plane to stay f32-exact, else the 4-matmul form (Tsum is
+    then ignored)."""
+    xlo_i = (x & DIGIT_MASK).astype(_I32)
+    xhi_i = (x >> DIGIT_BITS).astype(_I32)
+    xlo, xhi = xlo_i.astype(_BF16), xhi_i.astype(_BF16)
+    p_ll = _mm(xlo, Tlo)
+    p_hh = _mm(xhi, Thi)
+    if x.shape[-1] <= _KARATSUBA_MAX_K:
+        xsum = (xlo_i + xhi_i).astype(_BF16)
+        mid = _mm(xsum, Tsum) - p_ll - p_hh  # exact in f32 (< 2^24)
+    else:
+        mid = _mm(xlo, Thi) + _mm(xhi, Tlo)
+    t1 = _red_mu((_to_u32(p_hh) << DIGIT_BITS) + _to_u32(mid), m, mu)
+    return (t1 << DIGIT_BITS) + _to_u32(p_ll)
+
+
+# ---------------------------------------------------------------------------
+# constants
+# ---------------------------------------------------------------------------
+
+# number of leading constant refs shared by every v2 kernel
+_MM2_NREFS = 20
+
+
+def stack_group_consts2(ctxs) -> dict:
+    """Build the v2 fused constants from RNSContexts (all same k)."""
+    import numpy as np
+
+    k = ctxs[0].k
+    assert all(c.k == k for c in ctxs)
+
+    def per_ctx(c):
+        A = c.mods[:k].astype(np.uint64)
+        Bx = c.mods[k:].astype(np.uint64)  # B primes + m_r
+        muA = c.barrett[:k]
+        muBx = c.barrett[k:]
+        N = c.N
+        sig0 = c.sigma_c_A.astype(np.uint64)
+        sig1 = (sig0 << MOD_BITS) % A
+        MAinv = c.MAinv_B.astype(np.uint64)  # over Bx
+        MAinv1 = (MAinv << MOD_BITS) % Bx
+        NMAinv = (np.array([N % int(m) for m in Bx], np.uint64) * MAinv) % Bx
+        negMA = np.array([(-c.MA) % int(m) for m in Bx], np.uint64)
+        cAlpha = (negMA * NMAinv) % Bx
+        # T1p = T1 * (N * MAinv) mod m_j   [k, k+1]
+        T1p = (c.T1.astype(np.uint64) * NMAinv[None, :]) % Bx[None, :]
+        # T2 extended with the m_r column  [k, k+1]
+        T2x = np.concatenate([c.T2, c.T2r[:, None]], axis=1).astype(np.uint64)
+        # fused Shenoy pad rows
+        padA = (A << 15).astype(np.uint32)  # 2^15 * a  (> alpha2*MB_mod_A)
+        # modsAr: A-moduli columns + m_r column (T2x reduction targets)
+        modsAr = np.concatenate([c.mods[:k], c.mods[-1:]])
+        muAr = np.concatenate([muA, c.barrett[-1:]])
+
+        def planes(T):
+            lo = (T & DIGIT_MASK).astype(np.float32)
+            hi = (T >> DIGIT_BITS).astype(np.float32)
+            return (
+                lo.astype(jnp.bfloat16),
+                hi.astype(jnp.bfloat16),
+                (lo + hi).astype(jnp.bfloat16),
+            )
+
+        T1lo, T1hi, T1sum = planes(T1p.astype(np.uint32))
+        T2lo, T2hi, T2sum = planes(T2x.astype(np.uint32))
+        mr = int(c.mods[-1])
+        return dict(
+            modsA=c.mods[:k], muA=muA,
+            modsBx=c.mods[k:], muBx=muBx,
+            modsB=c.mods[k : 2 * k], muB=c.barrett[k : 2 * k],
+            modsAr=modsAr, muAr=muAr,
+            sig0=sig0.astype(np.uint32), sig1=sig1.astype(np.uint32),
+            cMAinv0=MAinv.astype(np.uint32), cMAinv1=MAinv1.astype(np.uint32),
+            cAlpha=cAlpha.astype(np.uint32),
+            MBj_inv_B=c.MBj_inv_B,
+            MB_mod_A=c.MB_mod_A,
+            padA=padA,
+            inv_a_f32=c.inv_a_f32,
+            T1lo=T1lo, T1hi=T1hi, T1sum=T1sum,
+            T2lo=T2lo, T2hi=T2hi, T2sum=T2sum,
+            # scalars: m_r, mu_r, MB^{-1} mod m_r, 2*m_r (diff pad)
+            scal=np.array(
+                [mr, int(c.barrett[-1]), int(c.MBinv_mr), 2 * mr], np.uint32
+            ),
+            sqA=c.mont_sq[:k], sqB=c.mont_sq[k:],
+            oneA=c.mont_one[:k], oneB=c.mont_one[k:],
+            CinA=c.Cin[:, :k], CinB=c.Cin[:, k:],
+        )
+
+    ds = [per_ctx(c) for c in ctxs]
+    out = {}
+    for key in ds[0]:
+        out[key] = jnp.asarray(np.stack([d[key] for d in ds]))
+    return out
+
+
+_MM2_KEYS = (
+    "scal", "modsA", "muA", "modsBx", "muBx", "modsB", "muB", "modsAr",
+    "muAr", "sig0", "sig1", "cMAinv0", "cMAinv1", "cAlpha", "MBj_inv_B",
+    "MB_mod_A", "padA", "inv_a_f32", "T1lo", "T1hi", "T1sum", "T2lo",
+    "T2hi", "T2sum", "sqA", "sqB", "oneA", "oneB",
+)
+_MM2_NREFS = len(_MM2_KEYS)
+
+
+def _row_spec(width):
+    return pl.BlockSpec(
+        (1, 1, width), lambda *i: (i[0], 0, 0), memory_space=pltpu.VMEM
+    )
+
+
+def _mat_spec(r, ccount):
+    return pl.BlockSpec(
+        (1, r, ccount), lambda *i: (i[0], 0, 0), memory_space=pltpu.VMEM
+    )
+
+
+def _mm2_args_specs(consts):
+    """(args, in_specs) for the _MM2_NREFS constant refs; every index map
+    selects only the group axis so any grid arity works."""
+    args, specs = [], []
+    for key in _MM2_KEYS:
+        a = consts[key]
+        if a.ndim == 2:  # row constant [G, w]
+            args.append(a[:, None, :])
+            specs.append(_row_spec(a.shape[-1]))
+        else:  # matrix [G, r, c]
+            args.append(a)
+            specs.append(_mat_spec(a.shape[-2], a.shape[-1]))
+    return args, specs
+
+
+def _mm2_cref(refs):
+    """Unpack the constant refs (dropping each ref's leading group axis)."""
+    return {key: ref[0] for key, ref in zip(_MM2_KEYS, refs)}
+
+
+def _make_mont_mul2(c):
+    """Build the fused-reduction Montgomery multiply on (xA, xB) pairs.
+
+    xA [Bt, k], xB [Bt, k+1] (m_r rides the last B lane), all canonical
+    (< m); returns (rA, rB) canonical residues of x*y*M_A^{-1} mod N (a
+    representative < 3N)."""
+    k = c["sig0"].shape[-1]
+    scal = c["scal"]  # [1, 4]: m_r, mu_r, MBinv_mr, 2*m_r
+    m_r, mu_r = scal[:, 0:1], scal[:, 1:2]
+    MBinv_mr, two_mr = scal[:, 2:3], scal[:, 3:4]
+
+    def mont_mul(xA, xB, yA, yB):
+        uA = xA * yA  # < 2^28
+        uB = xB * yB
+        uA_hi, uA_lo = uA >> MOD_BITS, uA & _MASK14
+        uB_hi, uB_lo = uB >> MOD_BITS, uB & _MASK14
+
+        # sigma = (s_A * -N^{-1} (M_A/a_i)^{-1}) mod a_i, from the raw split
+        sigma = _red_mu(
+            uA_hi * c["sig1"] + uA_lo * c["sig0"], c["modsA"], c["muA"]
+        )  # < 2^29
+
+        # Kawamura alpha estimate (undershoots by at most 1)
+        frac = jnp.sum(
+            sigma.astype(_I32).astype(_F32) * c["inv_a_f32"],
+            axis=-1, keepdims=True,
+        )
+        alpha = _to_u32(jnp.maximum(jnp.floor(frac - ALPHA_MARGIN), 0.0))
+
+        # base extension A -> B+mr with N*MAinv folded into the weights;
+        # q2 is HALF-reduced (< 2^22.3)
+        q2 = _mm3_raw(
+            sigma, c["T1lo"], c["T1hi"], c["T1sum"], c["modsBx"], c["muBx"]
+        )
+        # r_B = (s + q_hat N) MAinv mod b, all terms fused: < 2^29.1
+        rB = _red_mu(
+            uB_hi * c["cMAinv1"] + uB_lo * c["cMAinv0"] + q2
+            + alpha * c["cAlpha"],
+            c["modsBx"], c["muBx"],
+        )
+
+        # exact Shenoy extension back to base A via m_r
+        sigma2 = _mulmod(rB[:, :k], c["MBj_inv_B"], c["modsB"], c["muB"])
+        ext = _mm3_raw(
+            sigma2, c["T2lo"], c["T2hi"], c["T2sum"], c["modsAr"], c["muAr"]
+        )  # [Bt, k+1] half-reduced; last column = m_r
+        ext_r = ext[:, k : k + 1]
+        r_mr = rB[:, k : k + 1]
+        diff = _red_mu(ext_r + two_mr - r_mr, m_r, mu_r)
+        alpha2 = _mulmod(diff, MBinv_mr, m_r, mu_r)  # [Bt, 1], exact
+        rA = _red_mu(
+            ext[:, :k] + c["padA"] - alpha2 * c["MB_mod_A"],
+            c["modsA"], c["muA"],
+        )
+        return rA, rB
+
+    return mont_mul
+
+
+def _limbs_to_res2(xl, CinA, CinB, c):
+    """In-kernel limbs [Bt, L] -> residue pair ([Bt,k], [Bt,k+1])."""
+    def side(Cin, m, mu):
+        Clo = _to_bf16(Cin & DIGIT_MASK)
+        Chi = _to_bf16(Cin >> DIGIT_BITS)
+        acc = None
+        for shift in (0, DIGIT_BITS, 2 * DIGIT_BITS):
+            d = _to_bf16((xl >> shift) & DIGIT_MASK)
+            v = _red_mu(
+                (_to_u32(_mm(d, Chi)) << DIGIT_BITS) + _to_u32(_mm(d, Clo)),
+                m, mu,
+            )
+            term = v << shift
+            acc = term if acc is None else _red_mu(acc + term, m, mu)
+        return acc
+
+    return (
+        side(CinA, c["modsA"], c["muA"]),
+        side(CinB, c["modsBx"], c["muBx"]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# windowed modexp kernels
+# ---------------------------------------------------------------------------
+
+
+def _modexp2_body(c, refs, shared):
+    (CinA_ref, CinB_ref, base_ref, win_ref, outA_ref, outB_ref,
+     tabA_ref, tabB_ref) = refs
+    k = c["sig0"].shape[-1]
+    Bt = base_ref.shape[-2]
+    mont_mul = _make_mont_mul2(c)
+
+    xA, xB = _limbs_to_res2(base_ref[0], CinA_ref[0], CinB_ref[0], c)
+    aA, aB = mont_mul(xA, xB, c["sqA"], c["sqB"])  # Montgomery form
+    oneA = jnp.broadcast_to(c["oneA"], (Bt, k)).astype(_U32)
+    oneB = jnp.broadcast_to(c["oneB"], (Bt, k + 1)).astype(_U32)
+
+    tabA_ref[0], tabB_ref[0] = oneA, oneB
+    tabA_ref[1], tabB_ref[1] = aA, aB
+
+    def table_step(t, prev):
+        pA, pB = prev
+        nA, nB = mont_mul(pA, pB, aA, aB)
+        tabA_ref[pl.ds(t, 1)] = nA[None]
+        tabB_ref[pl.ds(t, 1)] = nB[None]
+        return nA, nB
+
+    jax.lax.fori_loop(2, _TABLE, table_step, (aA, aB))
+
+    if shared:
+        NW = win_ref.shape[-1]
+
+        def body(i, carry):
+            accA, accB = carry
+            accA, accB = jax.lax.fori_loop(
+                0, WINDOW_BITS,
+                lambda _, v: mont_mul(v[0], v[1], v[0], v[1]),
+                (accA, accB),
+            )
+            w = win_ref[0, 0, i]
+            selA = tabA_ref[pl.ds(w, 1)][0]
+            selB = tabB_ref[pl.ds(w, 1)][0]
+            return mont_mul(accA, accB, selA, selB)
+
+        accA, accB = jax.lax.fori_loop(0, NW, body, (oneA, oneB))
+    else:
+        NW = win_ref.shape[-1]
+
+        def body(i, carry):
+            (accA, accB), wins = carry
+            accA, accB = jax.lax.fori_loop(
+                0, WINDOW_BITS,
+                lambda _, v: mont_mul(v[0], v[1], v[0], v[1]),
+                (accA, accB),
+            )
+            w = wins[:, 0:1]
+            selA = jnp.zeros((Bt, k), _U32)
+            selB = jnp.zeros((Bt, k + 1), _U32)
+            for t in range(_TABLE):
+                selA = jnp.where(w == t, tabA_ref[t], selA)
+                selB = jnp.where(w == t, tabB_ref[t], selB)
+            wins = pltpu.roll(wins, shift=NW - 1, axis=1)
+            return mont_mul(accA, accB, selA, selB), wins
+
+        (accA, accB), _ = jax.lax.fori_loop(
+            0, NW, body, ((oneA, oneB), win_ref[0])
+        )
+
+    # leave the Montgomery domain (multiply by plain 1): value <= 2N
+    pA = jnp.ones((1, k), _U32)
+    pB = jnp.ones((1, k + 1), _U32)
+    outA_ref[0], outB_ref[0] = mont_mul(accA, accB, pA, pB)
+
+
+def _modexp2_kernel_shared(*refs):
+    c = _mm2_cref(refs[:_MM2_NREFS])
+    _modexp2_body(c, refs[_MM2_NREFS:], shared=True)
+
+
+def _modexp2_kernel_var(*refs):
+    c = _mm2_cref(refs[:_MM2_NREFS])
+    _modexp2_body(c, refs[_MM2_NREFS:], shared=False)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shared", "interpret", "batch_tile")
+)
+def pallas_rns_modexp2(base_limbs, windows, consts, *, shared=False,
+                       interpret=False, batch_tile=BATCH_TILE):
+    """base^e mod N over a [G, B, L] batch of canonical 15-bit limbs.
+
+    windows: [G, NW] uint32 4-bit windows (MS first) when ``shared`` (one
+    exponent per group, SMEM-resident), else [G, B, NW] per-row windows.
+    Returns residues as one [G, B, K] array (A | B | m_r lanes).
+    """
+    G, B, L = base_limbs.shape
+    k = consts["sig0"].shape[-1]
+    Bt = batch_tile
+    assert B % Bt == 0
+    windows = windows.astype(jnp.int32)
+
+    mm_args, mm_specs = _mm2_args_specs(consts)
+    data_l = pl.BlockSpec(
+        (1, Bt, L), lambda g, b: (g, b, 0), memory_space=pltpu.VMEM
+    )
+    if shared:
+        NW = windows.shape[-1]
+        windows = windows[:, None, :]  # [G, 1, NW]: SMEM-legal block shape
+        win_spec = pl.BlockSpec(
+            (1, 1, NW), lambda g, b: (g, 0, 0), memory_space=pltpu.SMEM
+        )
+    else:
+        NW = windows.shape[-1]
+        win_spec = pl.BlockSpec(
+            (1, Bt, NW), lambda g, b: (g, b, 0), memory_space=pltpu.VMEM
+        )
+    args = mm_args + [consts["CinA"], consts["CinB"], base_limbs, windows]
+    in_specs = mm_specs + [
+        _mat_spec(L, k), _mat_spec(L, k + 1), data_l, win_spec,
+    ]
+    outA, outB = pl.pallas_call(
+        _modexp2_kernel_shared if shared else _modexp2_kernel_var,
+        out_shape=(
+            jax.ShapeDtypeStruct((G, B, k), _U32),
+            jax.ShapeDtypeStruct((G, B, k + 1), _U32),
+        ),
+        grid=(G, B // Bt),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, Bt, k), lambda g, b: (g, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bt, k + 1), lambda g, b: (g, b, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_TABLE, Bt, k), _U32),
+            pltpu.VMEM((_TABLE, Bt, k + 1), _U32),
+        ],
+        interpret=interpret,
+    )(*args)
+    return jnp.concatenate([outA, outB], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# fixed-base kernels (table build + gather-multiply)
+# ---------------------------------------------------------------------------
+
+
+def _fb_table2_kernel(*refs):
+    c = _mm2_cref(refs[:_MM2_NREFS])
+    gA_ref, gB_ref, outA_ref, outB_ref, accA_ref, accB_ref = refs[_MM2_NREFS:]
+    mont_mul = _make_mont_mul2(c)
+    j = pl.program_id(1)
+    NP = gA_ref.shape[-2]
+    k = gA_ref.shape[-1]
+
+    @pl.when(j == 0)
+    def _():
+        accA_ref[...] = jnp.broadcast_to(c["oneA"], (NP, k)).astype(_U32)
+        accB_ref[...] = jnp.broadcast_to(c["oneB"], (NP, k + 1)).astype(_U32)
+
+    outA_ref[0, 0] = accA_ref[...]
+    outB_ref[0, 0] = accB_ref[...]
+
+    @pl.when(j < FB_TABLE - 1)
+    def _():
+        nA, nB = mont_mul(accA_ref[...], accB_ref[...], gA_ref[0], gB_ref[0])
+        accA_ref[...] = nA
+        accB_ref[...] = nB
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_fb_table2(gA, gB, consts, *, interpret=False):
+    """Fixed-base table from Montgomery-form g_i = base^(2^(8 i)):
+    gA [G, NP, k], gB [G, NP, k+1] -> ([G,256,NP,k], [G,256,NP,k+1])."""
+    G, NP, k = gA.shape
+    mm_args, mm_specs = _mm2_args_specs(consts)
+    args = mm_args + [gA, gB]
+    specs = mm_specs + [
+        pl.BlockSpec((1, NP, k), lambda g, j: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, NP, k + 1), lambda g, j: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    return pl.pallas_call(
+        _fb_table2_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((G, FB_TABLE, NP, k), _U32),
+            jax.ShapeDtypeStruct((G, FB_TABLE, NP, k + 1), _U32),
+        ),
+        grid=(G, FB_TABLE),
+        in_specs=specs,
+        out_specs=(
+            pl.BlockSpec((1, 1, NP, k), lambda g, j: (g, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NP, k + 1), lambda g, j: (g, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((NP, k), _U32),
+            pltpu.VMEM((NP, k + 1), _U32),
+        ],
+        interpret=interpret,
+    )(*args)
+
+
+@jax.jit
+def fb_digit_planes2(tabA, tabB):
+    """Table pair -> bf16 gather planes [G, NP, 256, w] (lo, hi per side)."""
+    def planes(t):
+        t = t.transpose(0, 2, 1, 3)
+        lo = (t & DIGIT_MASK).astype(_I32).astype(_BF16)
+        hi = (t >> DIGIT_BITS).astype(_I32).astype(_BF16)
+        return lo, hi
+
+    tAlo, tAhi = planes(tabA)
+    tBlo, tBhi = planes(tabB)
+    return tAlo, tAhi, tBlo, tBhi
+
+
+def _fb_modexp2_kernel(*refs):
+    c = _mm2_cref(refs[:_MM2_NREFS])
+    (tAlo_ref, tAhi_ref, tBlo_ref, tBhi_ref, win_ref, outA_ref, outB_ref,
+     accA_ref, accB_ref, win_scr) = refs[_MM2_NREFS:]
+    mont_mul = _make_mont_mul2(c)
+    i = pl.program_id(2)
+    NP = pl.num_programs(2)
+    Bt = win_ref.shape[-2]
+    k = tAlo_ref.shape[-1]
+
+    @pl.when(i == 0)
+    def _():
+        win_scr[...] = win_ref[0]
+
+    w = win_scr[:, 0:1].astype(_I32)
+    win_scr[...] = pltpu.roll(win_scr[...], shift=NP - 1, axis=1)
+    iota = jax.lax.broadcasted_iota(_I32, (Bt, FB_TABLE), 1)
+    onehot = jnp.where(w == iota, 1.0, 0.0).astype(_BF16)
+    selA = _to_u32(_mm(onehot, tAlo_ref[0][0])) + (
+        _to_u32(_mm(onehot, tAhi_ref[0][0])) << DIGIT_BITS
+    )
+    selB = _to_u32(_mm(onehot, tBlo_ref[0][0])) + (
+        _to_u32(_mm(onehot, tBhi_ref[0][0])) << DIGIT_BITS
+    )
+
+    @pl.when(i == 0)
+    def _():
+        accA_ref[...] = selA
+        accB_ref[...] = selB
+
+    @pl.when(i > 0)
+    def _():
+        nA, nB = mont_mul(accA_ref[...], accB_ref[...], selA, selB)
+        accA_ref[...] = nA
+        accB_ref[...] = nB
+
+    @pl.when(i == NP - 1)
+    def _():
+        pA = jnp.ones((1, k), _U32)
+        pB = jnp.ones((1, k + 1), _U32)
+        outA_ref[0], outB_ref[0] = mont_mul(accA_ref[...], accB_ref[...],
+                                            pA, pB)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "batch_tile"))
+def pallas_fb_modexp2(tAlo, tAhi, tBlo, tBhi, wins, consts, *,
+                      interpret=False, batch_tile=BATCH_TILE):
+    """base^e with a precomputed table; wins [G, B, NP] exponent bytes,
+    LS byte first.  Returns [G, B, K] residues of a value <= 2N."""
+    G, NP, T, k = tAlo.shape
+    B = wins.shape[1]
+    assert T == FB_TABLE and wins.shape[-1] == NP
+    assert B % batch_tile == 0
+    wins = wins.astype(_U32)
+
+    mm_args, mm_specs = _mm2_args_specs(consts)
+
+    def tspec(w):
+        return pl.BlockSpec(
+            (1, 1, FB_TABLE, w), lambda g, b, i: (g, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    args = mm_args + [tAlo, tAhi, tBlo, tBhi, wins]
+    specs = mm_specs + [
+        tspec(k), tspec(k), tspec(k + 1), tspec(k + 1),
+        pl.BlockSpec((1, batch_tile, NP), lambda g, b, i: (g, b, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    outA, outB = pl.pallas_call(
+        _fb_modexp2_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((G, B, k), _U32),
+            jax.ShapeDtypeStruct((G, B, k + 1), _U32),
+        ),
+        grid=(G, B // batch_tile, NP),
+        in_specs=specs,
+        out_specs=(
+            pl.BlockSpec((1, batch_tile, k), lambda g, b, i: (g, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, batch_tile, k + 1), lambda g, b, i: (g, b, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((batch_tile, k), _U32),
+            pltpu.VMEM((batch_tile, k + 1), _U32),
+            pltpu.VMEM((batch_tile, NP), _U32),
+        ],
+        interpret=interpret,
+    )(*args)
+    return jnp.concatenate([outA, outB], axis=-1)

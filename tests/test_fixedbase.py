@@ -1,4 +1,4 @@
-"""Fixed-base RNS modexp kernel (ops/pallas_fixedbase.py) vs Python pow()."""
+"""Fixed-base RNS modexp kernels (ops/pallas_rns2.py) vs Python pow()."""
 
 import random
 
@@ -10,8 +10,16 @@ import pailliercryptolib_tpu as ptpu
 from pailliercryptolib_tpu.ops import limbs as lb
 from pailliercryptolib_tpu.ops import paillier_ops as pops
 from pailliercryptolib_tpu.ops import rns
-from pailliercryptolib_tpu.ops.pallas_fixedbase import fb_num_windows
-from pailliercryptolib_tpu.ops.pallas_rns import BATCH_TILE, stack_group_consts
+from pailliercryptolib_tpu.ops.pallas_rns2 import (
+    BATCH_TILE,
+    FB_WINDOW_BITS,
+    stack_group_consts2,
+)
+
+
+def fb_num_windows(ebits: int) -> int:
+    nbytes = -(-ebits // FB_WINDOW_BITS)
+    return max(8, -(-nbytes // 8) * 8)
 
 
 @pytest.fixture(scope="module")
@@ -19,7 +27,7 @@ def fb256():
     rng = random.Random(4242)
     N = rng.getrandbits(256) | (1 << 255) | 1
     c = rns.RNSContext.create(N)
-    kc = stack_group_consts([c])
+    kc = stack_group_consts2([c])
     conv = c.device_consts()
     base = rng.randrange(2, N)
     NP = fb_num_windows(64)  # 64-bit exponents -> 8 byte-windows
@@ -27,30 +35,31 @@ def fb256():
     for _ in range(NP - 1):
         g.append(pow(g[-1], 256, N))
     g_limbs = jnp.asarray(lb.ints_to_limbs(g, c.Lin))
-    tablo, tabhi = pops.fb_table_stage(g_limbs, kc, conv, interpret=True)
-    return rng, N, c, kc, conv, base, NP, tablo, tabhi
+    planes = pops.fb_table_stage(g_limbs, kc, conv, interpret=True)
+    return rng, N, c, kc, conv, base, NP, planes
 
 
 def test_fb_table_entries(fb256):
     """Spot-check table entries: [j, i] = Mont(base^(j * 2^(8 i)))."""
-    rng, N, c, kc, conv, base, NP, tablo, tabhi = fb256
-    lo = np.asarray(tablo[0], np.uint32)
-    hi = np.asarray(tabhi[0], np.uint32)
-    table = lo + (hi << 7)  # [NP, 256, K]
+    rng, N, c, kc, conv, base, NP, planes = fb256
+    tAlo, tAhi, tBlo, tBhi = (np.asarray(p[0], np.uint32) for p in planes)
+    tabA = tAlo + (tAhi << 7)  # [NP, 256, k]
+    tabB = tBlo + (tBhi << 7)  # [NP, 256, k+1]
+    table = np.concatenate([tabA, tabB], axis=-1).transpose(1, 0, 2)
     MA = c.MA
     for i, j in [(0, 0), (0, 1), (0, 255), (3, 17), (NP - 1, 2)]:
         want = pow(base, j * (1 << (8 * i)), N) * MA % N
-        got = table[i, j]
+        got = table[j, i]
         for m, v in zip(c.mods, got):
             assert int(v) % int(m) == want % int(m), (i, j)
 
 
 def test_fb_modexp_matches_pow(fb256):
-    rng, N, c, kc, conv, base, NP, tablo, tabhi = fb256
+    rng, N, c, kc, conv, base, NP, planes = fb256
     B = BATCH_TILE
     exps = [rng.getrandbits(64) for _ in range(B - 3)] + [0, 1, (1 << 64) - 1]
     wb = jnp.asarray(lb.ints_to_bytes_le(exps, NP))
-    res = pops.rns_fb_modexp_stage(tablo, tabhi, wb, kc, interpret=True)
+    res = pops.rns_fb_modexp_stage(planes, wb, kc, interpret=True)
     vals = lb.limbs_to_ints(np.asarray(rns.rns_to_limbs(res, conv)))
     for e, v in zip(exps, vals):
         assert v % N == pow(base, e, N)

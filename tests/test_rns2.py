@@ -1,0 +1,65 @@
+"""v2 fused RNS kernels (ops/pallas_rns2.py) vs Python pow() (interpret)."""
+
+import random
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pailliercryptolib_tpu.ops import limbs as lb
+from pailliercryptolib_tpu.ops import rns
+from pailliercryptolib_tpu.ops.pallas_rns2 import (
+    BATCH_TILE,
+    pallas_rns_modexp2,
+    stack_group_consts2,
+)
+
+
+@pytest.fixture(scope="module")
+def ctx256():
+    rng = random.Random(177)
+    N = rng.getrandbits(256) | (1 << 255) | 1
+    return rng, N, rns.RNSContext.create(N)
+
+
+def test_modexp2_variable_windows(ctx256):
+    rng, N, c = ctx256
+    consts = stack_group_consts2([c])
+    B, ebits = BATCH_TILE, 32
+    bases = [rng.randrange(N) for _ in range(B - 2)] + [0, 1]
+    exps = [rng.getrandbits(ebits) for _ in range(B - 2)] + [0, 1]
+    x = jnp.asarray(lb.ints_to_limbs(bases, c.Lin))[None]
+    wins = jnp.asarray(lb.ints_to_windows(exps, ebits))[None]
+    out = pallas_rns_modexp2(x, wins, consts, interpret=True)
+    vals = lb.limbs_to_ints(
+        np.asarray(rns.rns_to_limbs(out[0], c.device_consts()))
+    )
+    for b, e, v in zip(bases, exps, vals):
+        assert v % N == pow(b, e, N)
+        assert v <= 2 * N
+
+
+def test_modexp2_shared_windows_grouped(ctx256):
+    """Two modulus systems, one shared exponent each (the CRT decrypt
+    configuration: SMEM windows, no per-row selects)."""
+    rng = random.Random(199)
+    n1 = rng.getrandbits(200) | (1 << 199) | 1
+    n2 = rng.getrandbits(200) | (1 << 199) | 1
+    c1 = rns.RNSContext.create(n1, product_bits=204)
+    c2 = rns.RNSContext.create(n2, product_bits=204)
+    assert c1.k == c2.k
+    consts = stack_group_consts2([c1, c2])
+    B, ebits = BATCH_TILE, 24
+    bases = [[rng.randrange(m) for _ in range(B)] for m in (n1, n2)]
+    exps = [rng.getrandbits(ebits) for _ in range(2)]
+    x = jnp.asarray(np.stack([lb.ints_to_limbs(b, c1.Lin) for b in bases]))
+    wins = jnp.asarray(
+        np.concatenate([lb.ints_to_windows([e], ebits) for e in exps])
+    )  # [2, NW]
+    out = pallas_rns_modexp2(x, wins, consts, shared=True, interpret=True)
+    for g, (m, c) in enumerate(((n1, c1), (n2, c2))):
+        vals = lb.limbs_to_ints(
+            np.asarray(rns.rns_to_limbs(out[g], c.device_consts()))
+        )
+        for b, v in zip(bases[g], vals):
+            assert v % m == pow(b, exps[g], m)
