@@ -315,7 +315,8 @@ def decrypt_crt_rns_op(
     # (p-1, q-1) are shared by every row, so the SMEM shared-window kernel
     # applies (no per-row window selects)
     res_rns = pallas_rns_modexp2(
-        bases, exp_wins[:, 0], kc2, shared=True, interpret=interpret
+        bases, exp_wins[:, 0], kc2, shared=True, streams=2,
+        interpret=interpret,
     )
     res = jax.vmap(_rns_finalize, in_axes=(0, 0, 0, None))(
         res_rns, conv2, sq_n, Lp2
@@ -347,7 +348,7 @@ def decrypt_raw_rns_op(
     """RAW decrypt with c^lambda on the RNS kernel (shared exponent)."""
     Ln = n_n.shape[-1]
     out_res = pallas_rns_modexp2(
-        ct[None], lam_wins, kc, shared=True, interpret=interpret
+        ct[None], lam_wins, kc, shared=True, streams=2, interpret=interpret
     )[0]
     res = _rns_finalize(out_res, conv, n2_n, n2_n.shape[-1])
     xm1 = sub_scalar(res, 1)
@@ -379,7 +380,7 @@ def rns_modexp_shared_stage(base, wins, kc, interpret=False):
     """Single-group RNS modexp with ONE exponent for every row (SMEM
     shared-window kernel): base [B, L], wins [1, NW] -> [B, K]."""
     return pallas_rns_modexp2(
-        base[None], wins, kc, shared=True, interpret=interpret
+        base[None], wins, kc, shared=True, streams=2, interpret=interpret
     )[0]
 
 

@@ -252,60 +252,84 @@ def _mm2_cref(refs):
     return {key: ref[0] for key, ref in zip(_MM2_KEYS, refs)}
 
 
-def _make_mont_mul2(c):
+def _make_mont_mul2(c, streams=1):
     """Build the fused-reduction Montgomery multiply on (xA, xB) pairs.
 
     xA [Bt, k], xB [Bt, k+1] (m_r rides the last B lane), all canonical
     (< m); returns (rA, rB) canonical residues of x*y*M_A^{-1} mod N (a
-    representative < 3N)."""
+    representative < 3N).
+
+    ``streams > 1`` returns a multi-stream form: it takes LISTS of operand
+    pairs and advances them stage-interleaved, so the Mosaic scheduler can
+    overlap one stream's MXU base-extension with another's VPU reductions
+    (within a single multiply the dependence chain forbids any overlap)."""
     k = c["sig0"].shape[-1]
     scal = c["scal"]  # [1, 4]: m_r, mu_r, MBinv_mr, 2*m_r
     m_r, mu_r = scal[:, 0:1], scal[:, 1:2]
     MBinv_mr, two_mr = scal[:, 2:3], scal[:, 3:4]
 
-    def mont_mul(xA, xB, yA, yB):
-        uA = xA * yA  # < 2^28
-        uB = xB * yB
-        uA_hi, uA_lo = uA >> MOD_BITS, uA & _MASK14
-        uB_hi, uB_lo = uB >> MOD_BITS, uB & _MASK14
-
+    def mont_mul_multi(xs, ys):
+        n = len(xs)
+        us = [(xA * yA, xB * yB) for (xA, xB), (yA, yB) in zip(xs, ys)]
+        spl = [
+            (uA >> MOD_BITS, uA & _MASK14, uB >> MOD_BITS, uB & _MASK14)
+            for uA, uB in us
+        ]
         # sigma = (s_A * -N^{-1} (M_A/a_i)^{-1}) mod a_i, from the raw split
-        sigma = _red_mu(
-            uA_hi * c["sig1"] + uA_lo * c["sig0"], c["modsA"], c["muA"]
-        )  # < 2^29
-
+        sigmas = [
+            _red_mu(hA * c["sig1"] + lA * c["sig0"], c["modsA"], c["muA"])
+            for hA, lA, _, _ in spl
+        ]
         # Kawamura alpha estimate (undershoots by at most 1)
-        frac = jnp.sum(
-            sigma.astype(_I32).astype(_F32) * c["inv_a_f32"],
-            axis=-1, keepdims=True,
-        )
-        alpha = _to_u32(jnp.maximum(jnp.floor(frac - ALPHA_MARGIN), 0.0))
-
+        alphas = [
+            _to_u32(jnp.maximum(jnp.floor(
+                jnp.sum(s.astype(_I32).astype(_F32) * c["inv_a_f32"],
+                        axis=-1, keepdims=True) - ALPHA_MARGIN), 0.0))
+            for s in sigmas
+        ]
         # base extension A -> B+mr with N*MAinv folded into the weights;
         # q2 is HALF-reduced (< 2^22.3)
-        q2 = _mm3_raw(
-            sigma, c["T1lo"], c["T1hi"], c["T1sum"], c["modsBx"], c["muBx"]
-        )
+        q2s = [
+            _mm3_raw(s, c["T1lo"], c["T1hi"], c["T1sum"], c["modsBx"],
+                     c["muBx"])
+            for s in sigmas
+        ]
         # r_B = (s + q_hat N) MAinv mod b, all terms fused: < 2^29.1
-        rB = _red_mu(
-            uB_hi * c["cMAinv1"] + uB_lo * c["cMAinv0"] + q2
-            + alpha * c["cAlpha"],
-            c["modsBx"], c["muBx"],
-        )
-
+        rBs = [
+            _red_mu(
+                hB * c["cMAinv1"] + lB * c["cMAinv0"] + q2 + a * c["cAlpha"],
+                c["modsBx"], c["muBx"],
+            )
+            for (_, _, hB, lB), q2, a in zip(spl, q2s, alphas)
+        ]
         # exact Shenoy extension back to base A via m_r
-        sigma2 = _mulmod(rB[:, :k], c["MBj_inv_B"], c["modsB"], c["muB"])
-        ext = _mm3_raw(
-            sigma2, c["T2lo"], c["T2hi"], c["T2sum"], c["modsAr"], c["muAr"]
-        )  # [Bt, k+1] half-reduced; last column = m_r
-        ext_r = ext[:, k : k + 1]
-        r_mr = rB[:, k : k + 1]
-        diff = _red_mu(ext_r + two_mr - r_mr, m_r, mu_r)
-        alpha2 = _mulmod(diff, MBinv_mr, m_r, mu_r)  # [Bt, 1], exact
-        rA = _red_mu(
-            ext[:, :k] + c["padA"] - alpha2 * c["MB_mod_A"],
-            c["modsA"], c["muA"],
-        )
+        sigma2s = [
+            _mulmod(rB[:, :k], c["MBj_inv_B"], c["modsB"], c["muB"])
+            for rB in rBs
+        ]
+        exts = [
+            _mm3_raw(s2, c["T2lo"], c["T2hi"], c["T2sum"], c["modsAr"],
+                     c["muAr"])
+            for s2 in sigma2s
+        ]  # [Bt, k+1] half-reduced; last column = m_r
+        outs = []
+        for ext, rB in zip(exts, rBs):
+            diff = _red_mu(
+                ext[:, k : k + 1] + two_mr - rB[:, k : k + 1], m_r, mu_r
+            )
+            alpha2 = _mulmod(diff, MBinv_mr, m_r, mu_r)  # [Bt, 1], exact
+            rA = _red_mu(
+                ext[:, :k] + c["padA"] - alpha2 * c["MB_mod_A"],
+                c["modsA"], c["muA"],
+            )
+            outs.append((rA, rB))
+        return outs
+
+    if streams > 1:
+        return mont_mul_multi
+
+    def mont_mul(xA, xB, yA, yB):
+        ((rA, rB),) = mont_mul_multi([(xA, xB)], [(yA, yB)])
         return rA, rB
 
     return mont_mul
@@ -336,6 +360,61 @@ def _limbs_to_res2(xl, CinA, CinB, c):
 # ---------------------------------------------------------------------------
 # windowed modexp kernels
 # ---------------------------------------------------------------------------
+
+
+def _modexp2_body_streams(c, refs, streams):
+    """Shared-exponent body with ``streams`` row-slices advanced
+    stage-interleaved (MXU/VPU overlap across streams)."""
+    (CinA_ref, CinB_ref, base_ref, win_ref, outA_ref, outB_ref,
+     tabA_ref, tabB_ref) = refs
+    k = c["sig0"].shape[-1]
+    Bt = base_ref.shape[-2]
+    h = Bt // streams
+    mm = _make_mont_mul2(c, streams=streams)
+    rows = [slice(s * h, (s + 1) * h) for s in range(streams)]
+
+    xA, xB = _limbs_to_res2(base_ref[0], CinA_ref[0], CinB_ref[0], c)
+    xs = [(xA[r], xB[r]) for r in rows]
+    sq = [(c["sqA"], c["sqB"])] * streams
+    a_s = mm(xs, sq)  # Montgomery form, per stream
+    oneA = jnp.broadcast_to(c["oneA"], (h, k)).astype(_U32)
+    oneB = jnp.broadcast_to(c["oneB"], (h, k + 1)).astype(_U32)
+
+    for s, r in enumerate(rows):
+        tabA_ref[0, r], tabB_ref[0, r] = oneA, oneB
+        tabA_ref[1, r], tabB_ref[1, r] = a_s[s]
+
+    def table_step(t, prev):
+        nxt = mm(list(prev), a_s)
+        for s, r in enumerate(rows):
+            tabA_ref[t, r] = nxt[s][0]
+            tabB_ref[t, r] = nxt[s][1]
+        return tuple(nxt)
+
+    jax.lax.fori_loop(2, _TABLE, table_step, tuple(a_s))
+
+    NW = win_ref.shape[-1]
+
+    def body(i, carry):
+        accs = list(carry)
+        for _ in range(WINDOW_BITS):
+            accs = mm(accs, accs)
+        w = win_ref[0, 0, i]
+        selA = tabA_ref[pl.ds(w, 1)][0]
+        selB = tabB_ref[pl.ds(w, 1)][0]
+        sels = [(selA[r], selB[r]) for r in rows]
+        return tuple(mm(accs, sels))
+
+    accs = jax.lax.fori_loop(
+        0, NW, body, tuple((oneA, oneB) for _ in range(streams))
+    )
+
+    pA = jnp.ones((1, k), _U32)
+    pB = jnp.ones((1, k + 1), _U32)
+    outs = mm(list(accs), [(pA, pB)] * streams)
+    for s, r in enumerate(rows):
+        outA_ref[0, r] = outs[s][0]
+        outB_ref[0, r] = outs[s][1]
 
 
 def _modexp2_body(c, refs, shared):
@@ -412,16 +491,21 @@ def _modexp2_kernel_shared(*refs):
     _modexp2_body(c, refs[_MM2_NREFS:], shared=True)
 
 
+def _modexp2_kernel_shared_s2(*refs):
+    c = _mm2_cref(refs[:_MM2_NREFS])
+    _modexp2_body_streams(c, refs[_MM2_NREFS:], streams=2)
+
+
 def _modexp2_kernel_var(*refs):
     c = _mm2_cref(refs[:_MM2_NREFS])
     _modexp2_body(c, refs[_MM2_NREFS:], shared=False)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("shared", "interpret", "batch_tile")
+    jax.jit, static_argnames=("shared", "interpret", "batch_tile", "streams")
 )
 def pallas_rns_modexp2(base_limbs, windows, consts, *, shared=False,
-                       interpret=False, batch_tile=BATCH_TILE):
+                       interpret=False, batch_tile=BATCH_TILE, streams=1):
     """base^e mod N over a [G, B, L] batch of canonical 15-bit limbs.
 
     windows: [G, NW] uint32 4-bit windows (MS first) when ``shared`` (one
@@ -453,8 +537,15 @@ def pallas_rns_modexp2(base_limbs, windows, consts, *, shared=False,
     in_specs = mm_specs + [
         _mat_spec(L, k), _mat_spec(L, k + 1), data_l, win_spec,
     ]
+    if shared and streams == 2:
+        kernel = _modexp2_kernel_shared_s2
+    elif shared:
+        kernel = _modexp2_kernel_shared
+    else:
+        assert streams == 1, "streams>1 requires shared windows"
+        kernel = _modexp2_kernel_var
     outA, outB = pl.pallas_call(
-        _modexp2_kernel_shared if shared else _modexp2_kernel_var,
+        kernel,
         out_shape=(
             jax.ShapeDtypeStruct((G, B, k), _U32),
             jax.ShapeDtypeStruct((G, B, k + 1), _U32),
@@ -557,11 +648,14 @@ def _fb_modexp2_kernel(*refs):
     c = _mm2_cref(refs[:_MM2_NREFS])
     (tAlo_ref, tAhi_ref, tBlo_ref, tBhi_ref, win_ref, outA_ref, outB_ref,
      accA_ref, accB_ref, win_scr) = refs[_MM2_NREFS:]
-    mont_mul = _make_mont_mul2(c)
+    streams = 2
+    mm = _make_mont_mul2(c, streams=streams)
     i = pl.program_id(2)
     NP = pl.num_programs(2)
     Bt = win_ref.shape[-2]
     k = tAlo_ref.shape[-1]
+    h = Bt // streams
+    rows = [slice(s * h, (s + 1) * h) for s in range(streams)]
 
     @pl.when(i == 0)
     def _():
@@ -585,16 +679,23 @@ def _fb_modexp2_kernel(*refs):
 
     @pl.when(i > 0)
     def _():
-        nA, nB = mont_mul(accA_ref[...], accB_ref[...], selA, selB)
-        accA_ref[...] = nA
-        accB_ref[...] = nB
+        outs = mm(
+            [(accA_ref[r], accB_ref[r]) for r in rows],
+            [(selA[r], selB[r]) for r in rows],
+        )
+        for s, r in enumerate(rows):
+            accA_ref[r] = outs[s][0]
+            accB_ref[r] = outs[s][1]
 
     @pl.when(i == NP - 1)
     def _():
         pA = jnp.ones((1, k), _U32)
         pB = jnp.ones((1, k + 1), _U32)
-        outA_ref[0], outB_ref[0] = mont_mul(accA_ref[...], accB_ref[...],
-                                            pA, pB)
+        outs = mm([(accA_ref[r], accB_ref[r]) for r in rows],
+                  [(pA, pB)] * streams)
+        for s, r in enumerate(rows):
+            outA_ref[0, r] = outs[s][0]
+            outB_ref[0, r] = outs[s][1]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "batch_tile"))
