@@ -7,7 +7,7 @@ import jax.numpy as jnp
 
 import pailliercryptolib_tpu as ptpu
 from pailliercryptolib_tpu.ops import paillier_ops as pops
-from pailliercryptolib_tpu.ops.pallas_rns import pallas_rns_modexp
+from pailliercryptolib_tpu.ops.pallas_rns2 import pallas_rns_modexp2
 
 def log(m): print(m, file=sys.stderr, flush=True)
 
@@ -55,9 +55,8 @@ def stage1():
 
 bases = timed("stage1 fold into p^2/q^2 (CIOS)", stage1)
 
-wins = jnp.broadcast_to(e.exp_wins, (two, bases.shape[1], e.exp_wins.shape[-1]))
 def stage2():
-    return pallas_rns_modexp(bases, wins, kc2)
+    return pallas_rns_modexp2(bases, e.exp_wins[:, 0], kc2, shared=True, streams=2)
 res_rns = timed("stage2 grouped RNS modexp", stage2)
 
 def stage3():
@@ -69,4 +68,4 @@ def full():
         ct_a, e.sq_n, e.sq_n0inv, e.sq_r2, e.exp_wins, e.hensel, e.hfun,
         e.pq_n, e.pq_n0inv, e.pq_r2, e.pinv_q, e.p_limbs, kc2, conv2)
 timed("full decrypt_crt op", full, iters=4)
-log(f"k for p^2 RNS: {kc2['mods'].shape[-1] // 2}, NW={e.exp_wins.shape[-1]}")
+log(f"k for p^2 RNS: {kc2['sig0'].shape[-1]}, NW={e.exp_wins.shape[-1]}")

@@ -24,9 +24,9 @@ e = pub._engine
 _, kc, conv = e.rns
 
 t0 = time.time()
-tablo, tabhi, NP = e.fixedbase
-jax.block_until_ready(tablo)
-np.asarray(tablo[:1, :1, :1, :1])
+planes, NP = e.fixedbase
+jax.block_until_ready(planes)
+np.asarray(planes[0][:1, :1, :1, :1])
 log(f"fixedbase table build (compile+run): {time.time()-t0:.1f}s  NP={NP}")
 
 r = _rng.batch_random_bits(BATCH, e.randbits)
@@ -37,14 +37,14 @@ hs_b = jnp.broadcast_to(e.hs_limbs, (BATCH, e.L2))
 
 # compile both
 t0 = time.time()
-res_fb = pops.rns_fb_modexp_stage(tablo, tabhi, r_b, kc)
+res_fb = pops.rns_fb_modexp_stage(planes, r_b, kc)
 np.asarray(res_fb[:1, :1])
 log(f"fb modexp compile: {time.time()-t0:.1f}s")
 
 N_IT = 10
 t0 = time.time()
 for _ in range(N_IT):
-    res_fb = pops.rns_fb_modexp_stage(tablo, tabhi, r_b, kc)
+    res_fb = pops.rns_fb_modexp_stage(planes, r_b, kc)
 np.asarray(res_fb[:1, :1])
 log(f"fb modexp batch={BATCH}: {(time.time()-t0)/N_IT*1000:.2f} ms")
 

@@ -162,7 +162,7 @@ class PublicEngine:
 
     @property
     def fixedbase(self):
-        """Lazy per-key fixed-base table for hs^r (ops/pallas_fixedbase.py):
+        """Lazy per-key fixed-base table for hs^r (ops/pallas_rns2.py):
         (tablo, tabhi, NP).  Built once per key: a host square chain
         g_i = hs^(2^(8 i)) mod n^2 feeds the device table kernel."""
         if self._fb is None:

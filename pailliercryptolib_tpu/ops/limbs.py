@@ -164,7 +164,7 @@ def ints_to_windows(xs: Sequence[int], ebits: int) -> np.ndarray:
 def ints_to_bytes_le(xs: Sequence[int], nbytes: int) -> np.ndarray:
     """Exponents -> [batch, nbytes] uint8, LEAST-significant byte first.
 
-    The wire format of the fixed-base kernel (ops/pallas_fixedbase.py):
+    The wire format of the fixed-base kernel (ops/pallas_rns2.py):
     byte i is the 8-bit window of weight 2^(8*i)."""
     batch = len(xs)
     buf = bytearray(batch * nbytes)

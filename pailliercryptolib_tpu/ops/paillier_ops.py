@@ -216,7 +216,6 @@ def mul_ctpt_op(ct, pt_wins, n2_n, n2_n0inv, n2_r2, n2_one, backend="xla"):
 # op mix).
 # ---------------------------------------------------------------------------
 
-from .pallas_rns import pallas_rns_modexp  # noqa: E402
 from .pallas_rns2 import (  # noqa: E402
     fb_digit_planes2,
     pallas_fb_modexp2,
@@ -240,47 +239,6 @@ def _rns_finalize(res, conv, n_limbs, out_limbs):
 
 def _cios_backend(interpret):
     return "pallas_interpret" if interpret else "pallas"
-
-
-@_rjit
-def encrypt_djn_rns_op(
-    m, r_wins, n_limbs, n2_n, n2_n0inv, n2_r2, hs_limbs, kc, conv,
-    interpret=False,
-):
-    """DJN encrypt with the obfuscator modexp on the RNS/MXU kernel."""
-    L2 = n2_n.shape[-1]
-    raw = _raw_encrypt(m, n_limbs, L2)
-    B = m.shape[0]
-    hs_b = jnp.broadcast_to(hs_limbs, (B, L2))
-    out_res = pallas_rns_modexp(
-        hs_b[None], r_wins[None], kc, interpret=interpret
-    )[0]
-    obf = _rns_finalize(out_res, conv, n2_n, L2)
-    return mod_mul_backend(raw, obf, n2_n, n2_n0inv, n2_r2, _cios_backend(interpret))
-
-
-@_rjit
-def encrypt_normal_rns_op(
-    m, r, n_wins, n_limbs, n2_n, n2_n0inv, n2_r2, kc, conv, interpret=False
-):
-    """Normal encrypt: per-element bases r^n with n as shared windows."""
-    L2 = n2_n.shape[-1]
-    raw = _raw_encrypt(m, n_limbs, L2)
-    B = r.shape[0]
-    wins = jnp.broadcast_to(n_wins, (B, n_wins.shape[-1]))
-    out_res = pallas_rns_modexp(r[None], wins[None], kc, interpret=interpret)[0]
-    obf = _rns_finalize(out_res, conv, n2_n, L2)
-    return mod_mul_backend(raw, obf, n2_n, n2_n0inv, n2_r2, _cios_backend(interpret))
-
-
-@_rjit
-def mul_ctpt_rns_op(ct, pt_wins, n2_n, kc, conv, interpret=False):
-    """CT*PT = ct^pt mod n^2 on the RNS/MXU kernel."""
-    L2 = n2_n.shape[-1]
-    out_res = pallas_rns_modexp(
-        ct[None], pt_wins[None], kc, interpret=interpret
-    )[0]
-    return _rns_finalize(out_res, conv, n2_n, L2)
 
 
 @_rjit

@@ -81,8 +81,8 @@ def _matmul_mod_planes(x, Tlo, Thi, m, mu):
 
 
 # Number of leading kernel refs holding the Montgomery-multiply constants
-# (shared by every RNS kernel: the windowed modexp here, and the fixed-base
-# table kernels in ops/pallas_fixedbase.py).
+# (shared by the v1 windowed modexp kernel below; the current default
+# kernels live in ops/pallas_rns2.py).
 _MM_NREFS = 21
 
 

@@ -140,7 +140,7 @@ def shard_batch_middle(arr, mesh: Mesh):
 def sharded_rns_modexp(mesh: Mesh, consts: dict, *, interpret: bool = False):
     """shard_map'd RNS/MXU modexp: [G, B, L] limbs with B split on 'batch'.
 
-    Every device runs the fused MXU kernel (ops/pallas_rns.py) on its local
+    Every device runs the fused MXU kernel (ops/pallas_rns2.py) on its local
     batch shard; the grouped-constants dict is replicated.  This is the
     multi-chip form of the flagship path: with the batch axis sharded over
     ICI there are no collectives at all — each chip's systolic array works
@@ -148,13 +148,13 @@ def sharded_rns_modexp(mesh: Mesh, consts: dict, *, interpret: bool = False):
     """
     import functools as _ft
 
-    from ..ops.pallas_rns import pallas_rns_modexp
+    from ..ops.pallas_rns2 import pallas_rns_modexp2
 
     axes = ("crt", "batch") if "crt" in mesh.axis_names else ("batch",)
     data = P(None, axes, None) if axes == ("batch",) else P("crt", "batch", None)
 
     fn = jax.shard_map(
-        _ft.partial(pallas_rns_modexp, interpret=interpret),
+        _ft.partial(pallas_rns_modexp2, interpret=interpret),
         mesh=mesh,
         in_specs=(data, data, jax.tree.map(lambda _: P(), consts)),
         out_specs=data,

@@ -102,15 +102,15 @@ def test_sharded_rns_modexp_matches_pow(rng):
     import random
 
     from pailliercryptolib_tpu.ops import rns
-    from pailliercryptolib_tpu.ops.pallas_rns import (
+    from pailliercryptolib_tpu.ops.pallas_rns2 import (
         BATCH_TILE,
-        stack_group_consts,
+        stack_group_consts2,
     )
 
     r2 = random.Random(123)
     N = r2.getrandbits(128) | (1 << 127) | 1
     c = rns.RNSContext.create(N)
-    consts = stack_group_consts([c])
+    consts = stack_group_consts2([c])
     mesh = pmesh.make_mesh(2)  # 2 devices x BATCH_TILE local batch
     B = 2 * BATCH_TILE
     bases = [r2.randrange(N) for _ in range(B)]
