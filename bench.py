@@ -32,7 +32,7 @@ from pailliercryptolib_tpu.ops.dispatch import default_backend
 BASELINE_TARGET = 100_000.0  # encrypts/s/chip (BASELINE.json north star)
 KEY_BITS = 2048
 BATCH = 2048
-ITERS = 10
+ITERS = 30  # deep pipeline: the device queue hides host codec + dispatch
 
 
 def log(msg):

@@ -32,10 +32,16 @@ DEFAULT_BATCHES = [16, 64, 128, 256, 512, 1024, 2048]  # bench_cryptography.cpp:
 
 
 def timed(fn, iters=3):
-    fn()  # warm / compile
+    def sync(x):
+        if hasattr(x, "block_until_ready"):
+            x.block_until_ready()
+        return x
+
+    sync(fn())  # warm / compile
     t = time.time()
     for _ in range(iters):
         out = fn()
+    sync(out)
     return (time.time() - t) / iters, out
 
 

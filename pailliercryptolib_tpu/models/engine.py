@@ -213,11 +213,25 @@ class PublicEngine:
     # Every pipeline returns DevLimbs (device-resident canonical limbs);
     # legacy list-returning wrappers materialize immediately.
 
-    def encrypt_djn_dev(self, m: Sequence[int], r: Sequence[int]) -> DevLimbs:
+    def encrypt_djn_dev(self, m: Sequence[int], r) -> DevLimbs:
+        """``r`` is either a list of ints (injected test randoms) or a
+        [B, nbytes] uint8 array straight from the OS CSPRNG
+        (utils/rng.batch_random_bytes) — the fast path feeds the fixed-base
+        kernel's byte-window wire format without Python-int round-trips."""
         size = len(m)
         m_p = _pad_batch(list(m), 0, self.backend)
-        r_p = _pad_batch(list(r), 0, self.backend)
-        ebits = max(self.randbits, max_bitlength(r_p))
+        r_is_bytes = isinstance(r, np.ndarray) and r.dtype == np.uint8
+        if r_is_bytes and not _is_rns(self.backend):
+            # non-RNS backends take window-encoded ints: decode once
+            r = [
+                int.from_bytes(row.tobytes(), "little") for row in r
+            ]
+            r_is_bytes = False
+        if r_is_bytes:
+            r_p, ebits = None, self.randbits
+        else:
+            r_p = _pad_batch(list(r), 0, self.backend)
+            ebits = max(self.randbits, max_bitlength(r_p))
         nw = _round_windows(num_windows(ebits))
         m_a = self._upload_narrow(m_p)
         n2_n, n2_n0inv, n2_r2, n2_one = self.n2_args
@@ -226,7 +240,12 @@ class PublicEngine:
             interp = _rns_interp(self.backend)
             planes, NP = self.fixedbase
             if -(-ebits // 8) <= NP:  # exponents fit the table
-                r_b = jnp.asarray(ints_to_bytes_le(r_p, NP))
+                if r_is_bytes:
+                    rb = np.zeros((len(m_p), NP), np.uint8)
+                    rb[: r.shape[0], : r.shape[1]] = r
+                    r_b = jnp.asarray(rb)
+                else:
+                    r_b = jnp.asarray(ints_to_bytes_le(r_p, NP))
                 res = pops.rns_fb_modexp_stage(
                     planes, r_b, kc, interpret=interp
                 )
@@ -234,10 +253,9 @@ class PublicEngine:
                 r_w = jnp.asarray(ints_to_windows(r_p, nw * 4))
                 hs_b = jnp.broadcast_to(self.hs_limbs, (len(m_p), self.L2))
                 res = pops.rns_modexp_stage(hs_b, r_w, kc, interpret=interp)
-            obf = pops.rns_finalize_stage(res, conv, n2_n, self.L2)
-            raw = pops.encrypt_noobf_op(m_a, self.n_limbs, n2_n)
-            out = pops.mod_mul_stage(
-                raw, obf, n2_n, n2_n0inv, n2_r2, backend=self._cios()
+            out = pops.encrypt_post_stage(
+                res, m_a, self.n_limbs, conv, n2_n, n2_n0inv, n2_r2,
+                interpret=interp,
             )
             return DevLimbs(out, size)
         r_w = jnp.asarray(ints_to_windows(r_p, nw * 4))
@@ -261,10 +279,9 @@ class PublicEngine:
             res = pops.rns_modexp_shared_stage(
                 r_a, self.n_wins, kc, interpret=interp
             )
-            obf = pops.rns_finalize_stage(res, conv, n2_n, self.L2)
-            raw = pops.encrypt_noobf_op(m_a, self.n_limbs, n2_n)
-            out = pops.mod_mul_stage(
-                raw, obf, n2_n, n2_n0inv, n2_r2, backend=self._cios()
+            out = pops.encrypt_post_stage(
+                res, m_a, self.n_limbs, conv, n2_n, n2_n0inv, n2_r2,
+                interpret=interp,
             )
             return DevLimbs(out, size)
         out = pops.encrypt_normal_op(

@@ -118,7 +118,8 @@ class PublicKey:
                 raise ValueError("setRandom: not enough injected obfuscator values")
             r = [int(v) for v in self._test_r[:size]]
         elif self.enable_djn_flag:
-            r = _rng.batch_random_bits(size, self.randbits)
+            # bytes-direct CSPRNG draw (the fixed-base kernel's wire format)
+            r = _rng.batch_random_bytes(size, self.randbits)
         else:
             # r uniform in [1, n-1] (ipcl/pub_key.cpp:74-77)
             r = [v % (self.n - 1) + 1 for v in _rng.batch_random_bits(size, self.bits)]

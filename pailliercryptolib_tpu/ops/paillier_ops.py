@@ -372,6 +372,21 @@ def rns_finalize_stage(res, conv, n_limbs, out_limbs):
     return _rns_finalize(res, conv, n_limbs, out_limbs)
 
 
+@_rjit
+def encrypt_post_stage(
+    res, m_a, n_limbs, conv, n2_n, n2_n0inv, n2_r2, interpret=False
+):
+    """Encrypt tail in ONE dispatch: obfuscator residues -> limbs, plaintext
+    embedding (n*m+1), and the obfuscation multiply (host dispatch latency
+    on tunneled backends makes three separate stages measurable)."""
+    L2 = n2_n.shape[-1]
+    obf = _rns_finalize(res, conv, n2_n, L2)
+    raw = _raw_encrypt(m_a, n_limbs, L2)
+    return mod_mul_backend(
+        raw, obf, n2_n, n2_n0inv, n2_r2, _cios_backend(interpret)
+    )
+
+
 @_sjit
 def mod_mul_stage(a, b, n, n0inv, r2, backend="pallas"):
     return mod_mul_backend(a, b, n, n0inv, r2, backend)

@@ -37,3 +37,22 @@ def batch_random_bits(count: int, nbits: int) -> List[int]:
         int.from_bytes(buf[i * nbytes : (i + 1) * nbytes], "little") & mask
         for i in range(count)
     ]
+
+
+def batch_random_bytes(count: int, nbits: int):
+    """``count`` uniform integers in [0, 2**nbits) as a [count, ceil(nbits/8)]
+    uint8 array, LEAST-significant byte first — the exponent wire format of
+    the fixed-base kernel.  Skips Python-int materialization entirely (the
+    encrypt hot path: ~12 ms/2048-batch saved vs batch_random_bits +
+    re-encoding)."""
+    import numpy as np
+
+    nbytes = -(-nbits // 8)
+    arr = np.frombuffer(os.urandom(count * nbytes), np.uint8).reshape(
+        count, nbytes
+    )
+    top = nbits % 8
+    if top:
+        arr = arr.copy()
+        arr[:, -1] &= (1 << top) - 1
+    return arr
