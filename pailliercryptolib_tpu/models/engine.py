@@ -303,6 +303,10 @@ class PublicEngine:
         if b_size == 1 and size != 1:
             b_a = jnp.broadcast_to(b_a[:1], a_a.shape)
         n2_n, n2_n0inv, n2_r2, _ = self.n2_args
+        if _is_rns(self.backend):
+            _, kc, conv = self.rns
+            out = pops.add_ctct_rns_op(a_a, b_a, conv, n2_n)
+            return DevLimbs(out, size)
         out = pops.add_ctct_op(
             a_a, b_a, n2_n, n2_n0inv, n2_r2, backend=self._cios()
         )
