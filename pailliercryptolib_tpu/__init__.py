@@ -15,7 +15,7 @@ Public API (mirrors ipcl/include/ipcl/ipcl.hpp):
     >>> pt = key.priv_key.decrypt(ct + ct)
 """
 
-from .models.keygen import generate_keypair
+from .models.keygen import generate_keypair, get_prime
 from .ops.api import modexp
 from .models.keys import KeyPair, PrivateKey, PublicKey
 from .models.texts import BaseText, CipherText, PlainText
@@ -35,6 +35,7 @@ __all__ = [
     "PrivateKey",
     "PublicKey",
     "generate_keypair",
+    "get_prime",
     "modexp",
     "get_context",
     "initialize_context",

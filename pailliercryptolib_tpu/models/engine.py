@@ -140,11 +140,17 @@ class PublicEngine:
         self._rns = None
         self._fb = None
 
-    def set_hs(self, hs: int) -> None:
+    def set_hs(self, hs: int, randbits: Optional[int] = None) -> None:
+        """Install new DJN parameters.  ``randbits`` must accompany a
+        late enable_djn/set_djn (ipcl/pub_key.cpp:131-137): the fixed-base
+        table is sized from it, and an engine created before DJN was
+        enabled would otherwise keep a stale obfuscator width."""
         self.hs_int = hs
         self.hs_limbs = jnp.asarray(ints_to_limbs([hs], self.L2)[0])
+        if randbits is not None:
+            self.randbits = randbits
         self._rns = None  # hs residues must be rebuilt
-        self._fb = None
+        self._fb = None  # table is sized from randbits and built from hs
 
     @property
     def rns(self):
@@ -290,6 +296,70 @@ class PublicEngine:
         )
         return DevLimbs(out, size)
 
+    def obfuscate_dev(self, ct, r) -> DevLimbs:
+        """Standalone re-obfuscation: ct * hs^r (DJN, ipcl/pub_key.cpp:51-64)
+        or ct * r^n (normal, :66-80) mod n^2.  ``ct`` is DevLimbs or a host
+        int list; ``r`` follows encrypt_djn_dev's conventions."""
+        ct_a, size = self._ct_operand(ct, 1)
+        B = ct_a.shape[0]
+        n2_n, n2_n0inv, n2_r2, n2_one = self.n2_args
+        if self.hs_limbs is not None:  # DJN: obf = hs^r
+            r_is_bytes = isinstance(r, np.ndarray) and r.dtype == np.uint8
+            if r_is_bytes and not _is_rns(self.backend):
+                r = [int.from_bytes(row.tobytes(), "little") for row in r]
+                r_is_bytes = False
+            if r_is_bytes:
+                r_p, ebits = None, self.randbits
+            else:
+                r_p = _pad_batch(list(r), 0, self.backend)
+                ebits = max(self.randbits, max_bitlength(r_p))
+            if _is_rns(self.backend):
+                _, kc, conv = self.rns
+                interp = _rns_interp(self.backend)
+                planes, NP = self.fixedbase
+                if -(-ebits // 8) <= NP:
+                    if r_is_bytes:
+                        rb = np.zeros((B, NP), np.uint8)
+                        rb[: r.shape[0], : r.shape[1]] = r
+                        r_b = jnp.asarray(rb)
+                    else:
+                        r_b = jnp.asarray(ints_to_bytes_le(r_p, NP))
+                    res = pops.rns_fb_modexp_stage(
+                        planes, r_b, kc, interpret=interp
+                    )
+                else:
+                    nw = _round_windows(num_windows(ebits))
+                    r_w = jnp.asarray(ints_to_windows(r_p, nw * 4))
+                    hs_b = jnp.broadcast_to(self.hs_limbs, (B, self.L2))
+                    res = pops.rns_modexp_stage(hs_b, r_w, kc, interpret=interp)
+                out = pops.mul_res_post_stage(ct_a, res, conv, n2_n,
+                                              interpret=interp)
+                return DevLimbs(out, size)
+            nw = _round_windows(num_windows(ebits))
+            r_w = jnp.asarray(ints_to_windows(r_p, nw * 4))
+            out = pops.obfuscate_op(
+                ct_a, self.hs_limbs, r_w, n2_n, n2_n0inv, n2_r2, n2_one,
+                backend=self.backend,
+            )
+            return DevLimbs(out, size)
+        # normal mode: obf = r^n, shared exponent n
+        r_p = _pad_batch(list(r), 1, self.backend)
+        r_a = jnp.asarray(ints_to_limbs(r_p, self.L2))
+        if _is_rns(self.backend):
+            _, kc, conv = self.rns
+            interp = _rns_interp(self.backend)
+            res = pops.rns_modexp_shared_stage(
+                r_a, self.n_wins, kc, interpret=interp
+            )
+            out = pops.mul_res_post_stage(ct_a, res, conv, n2_n,
+                                          interpret=interp)
+            return DevLimbs(out, size)
+        out = pops.obfuscate_op(
+            ct_a, r_a, self.n_wins, n2_n, n2_n0inv, n2_r2, n2_one,
+            backend=self.backend,
+        )
+        return DevLimbs(out, size)
+
     def encrypt_noobf_dev(self, m: Sequence[int]) -> DevLimbs:
         size = len(m)
         m_p = _pad_batch(list(m), 0, self.backend)
@@ -314,10 +384,12 @@ class PublicEngine:
 
     def mul_ctpt_dev(self, ct, pt: Sequence[int]) -> DevLimbs:
         ct_a, size = self._ct_operand(ct, 1)
-        pt_p = _pad_batch(list(pt), 0, self.backend)
+        # a scalar PT keeps its size-1 row: the shared-exponent kernel path
+        # (detected BEFORE padding, which would hide it behind a full tile)
+        shared_pt = len(pt) == 1 and ct_a.shape[0] != 1
+        pt_p = list(pt) if shared_pt else _pad_batch(list(pt), 0, self.backend)
         nw = _round_windows(num_windows(max_bitlength(pt_p)))
         pt_w = jnp.asarray(ints_to_windows(pt_p, nw * 4))
-        shared_pt = pt_w.shape[0] == 1 and ct_a.shape[0] != 1
         n2_n, n2_n0inv, n2_r2, n2_one = self.n2_args
         if _is_rns(self.backend):
             _, kc, conv = self.rns

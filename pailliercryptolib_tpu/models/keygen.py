@@ -42,7 +42,9 @@ def miller_rabin(n: int, rounds: int = 10) -> bool:
     fixed to 2 (cheapest, catches almost everything the sieve missed), then
     ``rounds`` random bases — nTrials=10 as the reference's
     ippsPrimeGen_BN configuration (ipcl/keygen.cpp:34)."""
-    if n < 2:
+    if n < 4:
+        return n in (2, 3)  # the sieve below starts at 3; 2 needs a guard
+    if n % 2 == 0:
         return False
     for sp in _SMALL_PRIMES:
         if n == sp:

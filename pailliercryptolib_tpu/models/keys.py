@@ -65,7 +65,7 @@ class PublicKey:
         self.randbits = self.bits >> 1
         self.enable_djn_flag = True
         if self._engine_cache is not None:
-            self._engine_cache.set_hs(self.hs)
+            self._engine_cache.set_hs(self.hs, self.randbits)
 
     def set_djn(self, hs: int, randbits: int) -> None:
         """Install externally computed DJN parameters (ipcl/pub_key.cpp:131-137)."""
@@ -75,7 +75,7 @@ class PublicKey:
         self.randbits = int(randbits)
         self.enable_djn_flag = True
         if self._engine_cache is not None:
-            self._engine_cache.set_hs(self.hs)
+            self._engine_cache.set_hs(self.hs, self.randbits)
 
     # -- deterministic test hooks (ipcl/pub_key.cpp:92-97) ------------------
 
@@ -113,21 +113,40 @@ class PublicKey:
         m = [v % self.n for v in pt.texts]
         if not make_secure:
             return CipherText(self, self._engine.encrypt_noobf_dev(m))
-        if self._testv:
-            if len(self._test_r) < size:
-                raise ValueError("setRandom: not enough injected obfuscator values")
-            r = [int(v) for v in self._test_r[:size]]
-        elif self.enable_djn_flag:
-            # bytes-direct CSPRNG draw (the fixed-base kernel's wire format)
-            r = _rng.batch_random_bytes(size, self.randbits)
-        else:
-            # r uniform in [1, n-1] (ipcl/pub_key.cpp:74-77)
-            r = [v % (self.n - 1) + 1 for v in _rng.batch_random_bits(size, self.bits)]
+        r = self._draw_randoms(size)
         if self.enable_djn_flag:
             ct = self._engine.encrypt_djn_dev(m, r)
         else:
             ct = self._engine.encrypt_normal_dev(m, r)
         return CipherText(self, ct)
+
+    def _draw_randoms(self, size: int):
+        """Obfuscator randoms: injected test values (consumed FIFO) or a
+        CSPRNG draw (ipcl/pub_key.cpp:56-77)."""
+        if self._testv:
+            if len(self._test_r) < size:
+                raise ValueError("setRandom: not enough injected obfuscator values")
+            r = [int(v) for v in self._test_r[:size]]
+            del self._test_r[:size]  # consume: each injected r is used once
+            if not self._test_r:
+                self._testv = False
+            return r
+        if self.enable_djn_flag:
+            # bytes-direct CSPRNG draw (the fixed-base kernel's wire format)
+            return _rng.batch_random_bytes(size, self.randbits)
+        # r uniform in [1, n-1] (ipcl/pub_key.cpp:74-77)
+        return [v % (self.n - 1) + 1 for v in _rng.batch_random_bits(size, self.bits)]
+
+    def apply_obfuscator(self, ct: CipherText) -> CipherText:
+        """Re-obfuscate an existing ciphertext: ct * hs^r (DJN) or ct * r^n
+        (normal) mod n^2 — the standalone obfuscation API of the reference
+        (ipcl/pub_key.cpp:82-90).  Returns a new CipherText decrypting to the
+        same plaintext; the randomness is fresh (or injected via set_random)."""
+        if len(ct) == 0:
+            raise ValueError("applyObfuscator: empty CipherText")
+        r = self._draw_randoms(len(ct))
+        out = self._engine.obfuscate_dev(ct.device_payload(), r)
+        return CipherText(self, out)
 
     # -- misc ---------------------------------------------------------------
 

@@ -104,6 +104,15 @@ def encrypt_normal_op(m, r, n_wins, n_limbs, n2_n, n2_n0inv, n2_r2, n2_one, back
     return mod_mul_backend(raw, obf, n2_n, n2_n0inv, n2_r2, backend)
 
 
+@_sjit
+def obfuscate_op(ct, base, wins, n2_n, n2_n0inv, n2_r2, n2_one, backend="xla"):
+    """Standalone re-obfuscation (ipcl/pub_key.cpp:82-90):
+    ct * base^wins mod n^2.  base is the shared DJN hs [L2] with per-row
+    windows, or per-row r bases [B, L2] with the shared exponent n."""
+    obf = modexp_backend(base, wins, n2_n, n2_n0inv, n2_r2, n2_one, backend)
+    return mod_mul_backend(ct, obf, n2_n, n2_n0inv, n2_r2, backend)
+
+
 @jax.jit
 def encrypt_noobf_op(m, n_limbs, n2_n):
     """Encrypt without obfuscation (make_secure=false path,
@@ -210,7 +219,7 @@ def mul_ctpt_op(ct, pt_wins, n2_n, n2_n0inv, n2_r2, n2_one, backend="xla"):
 #
 # Same scheme semantics as the ops above, but the exponentiation runs in the
 # residue number system (ops/rns.py) via the fused MXU kernel
-# (ops/pallas_rns.py): ~10x the CIOS kernel's throughput at 2048-bit keys.
+# (ops/pallas_rns2.py): ~10x the CIOS kernel's throughput at 2048-bit keys.
 # Conversions limbs<->RNS are loop-free XLA matmuls; the final multiply and
 # the CRT fold still use the CIOS kernels (they are a rounding error in the
 # op mix).
@@ -390,6 +399,20 @@ def encrypt_post_stage(
     t = rns_mont_mul(raw_res, conv["mont_sq"][None, :], conv)  # raw*MA
     ct_res = rns_mont_mul(t, res, conv)  # raw*obf, value < 3N
     return _rns_finalize(ct_res, conv, n2_n, L2)
+
+
+@_rjit
+def mul_res_post_stage(ct, res, conv, n2_n, interpret=False):
+    """ct (limbs) * res (RNS residues straight from a modexp kernel)
+    mod n^2 — the obfuscation multiply with the limb->RNS conversion of
+    the second operand already paid (used by apply_obfuscator)."""
+    from .rns import limbs_to_rns, rns_mont_mul
+
+    L2 = n2_n.shape[-1]
+    ra = limbs_to_rns(ct, conv)
+    t = rns_mont_mul(ra, conv["mont_sq"][None, :], conv)  # ct*MA
+    out = rns_mont_mul(t, res, conv)  # ct*obf, value < 3N
+    return _rns_finalize(out, conv, n2_n, L2)
 
 
 @jax.jit

@@ -158,9 +158,12 @@ def _load_private_key(r: _Reader) -> PrivateKey:
 
 
 def _save_base_text(w: _Writer, t: BaseText, name: str) -> None:
+    # cereal emits the derived class's version, then the base's: both
+    # PlainText and CipherText serialize via base_class<BaseText>
+    # (plaintext.hpp:93-97, ciphertext.hpp:70-74), and base_class recurses
+    # through the versioned machinery.
     w.class_version(name)
-    if name == "CipherText":
-        w.class_version("BaseText")
+    w.class_version("BaseText")
     w.u64(len(t.texts))
     w.u64(len(t.texts))  # vector<BigNumber> count
     for x in t.texts:
@@ -169,8 +172,7 @@ def _save_base_text(w: _Writer, t: BaseText, name: str) -> None:
 
 def _load_base_text(r: _Reader, name: str) -> List[int]:
     r.class_version(name)
-    if name == "CipherText":
-        r.class_version("BaseText")
+    r.class_version("BaseText")
     size = r.u64()
     count = r.u64()
     if size != count:
