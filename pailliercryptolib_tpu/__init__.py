@@ -19,6 +19,14 @@ from .models.keygen import generate_keypair, get_prime
 from .ops.api import modexp
 from .models.keys import KeyPair, PrivateKey, PublicKey
 from .models.texts import BaseText, CipherText, PlainText
+from .ops.dispatch import (
+    HybridMode,
+    get_hybrid_mode,
+    get_hybrid_ratio,
+    set_hybrid_mode,
+    set_hybrid_off,
+    set_hybrid_ratio,
+)
 from .parallel.context import (
     get_context,
     initialize_context,
@@ -37,6 +45,12 @@ __all__ = [
     "generate_keypair",
     "get_prime",
     "modexp",
+    "HybridMode",
+    "get_hybrid_mode",
+    "get_hybrid_ratio",
+    "set_hybrid_mode",
+    "set_hybrid_off",
+    "set_hybrid_ratio",
     "get_context",
     "initialize_context",
     "terminate_context",

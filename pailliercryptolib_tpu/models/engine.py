@@ -8,16 +8,30 @@ Python ints and fixed-shape limb tensors around every batched call.
 Batch sizes are padded to the next power of two so the number of jit
 specializations stays bounded (the TPU analog of the reference's chunks-of-8
 padding policy, ipcl/mod_exp.cpp:480-516).
+
+Two cross-cutting mechanisms live here:
+
+* **Hybrid batch split** — the reference's QAT/IPP work split
+  (ipcl/mod_exp.cpp:688-732): when a hybrid ratio < 1 is set, the head of
+  each batch runs on this engine's kernel backend and the tail on a
+  pure-XLA twin engine, concatenated on device.  JAX async dispatch runs
+  the two pipelines concurrently, as the reference's std::thread did.
+* **Transparent mesh sharding** — when a runtime context with a >1-device
+  mesh is live (parallel/context.py), every batched pipeline stage runs
+  under shard_map with the batch axis split across devices; host uploads
+  are placed pre-sharded so input distribution is the only communication.
 """
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops import paillier_ops as pops
 from ..ops.dispatch import default_backend
@@ -34,13 +48,25 @@ from ..ops.limbs import (
     pack_pairs_np,
     unpack_pairs_np,
 )
+from ..ops.montgomery import MontConstants
 
 
 def _download_limbs(dev_arr) -> List[int]:
-    """Device canonical limbs -> host ints via a packed (half-size) download."""
+    """Device canonical limbs -> host ints via a packed (half-size) download.
+
+    Multi-process global arrays (batch sharded across hosts via the context
+    mesh) are gathered with an all-gather so every process sees the full
+    host view — the only cross-host communication in the design besides
+    input distribution (SURVEY.md §2.5)."""
     packed = pops.pack_out_op(dev_arr)
     L = dev_arr.shape[-1]
-    return limbs_to_ints(unpack_pairs_np(np.asarray(packed), L))
+    if not packed.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        packed_np = multihost_utils.process_allgather(packed, tiled=True)
+    else:
+        packed_np = np.asarray(packed)
+    return limbs_to_ints(unpack_pairs_np(packed_np, L))
 
 
 class DevLimbs:
@@ -75,25 +101,53 @@ def sync_device(dev: "DevLimbs") -> None:
     dev.sync()
 
 
-def _upload_limbs(ints: Sequence[int], num_limbs: int):
-    """Host ints -> device canonical limbs via a packed (half-size) upload."""
-    packed = pack_pairs_np(ints_to_limbs(list(ints), num_limbs))
-    return pops.unpack_in_op(jnp.asarray(packed), num_limbs)
-from ..ops.montgomery import MontConstants
-
-
-def _pad_batch(xs: List[int], fill: int, backend: str = "xla") -> List[int]:
+def _pad_batch(
+    xs: List[int], fill: int, backend: str = "xla", ndev: int = 1
+) -> List[int]:
     """Pad a batch so jit specializations stay bounded.
 
     XLA backend: next power of two.  Kernel backends (pallas / rns): next
-    multiple of the 128-lane batch tile.
+    multiple of the 128-lane batch tile.  With a device mesh (``ndev`` > 1)
+    the target additionally rounds up so every device gets an equal,
+    tile-aligned shard.
     """
     n = len(xs)
     if backend != "xla":
-        target = -(-n // BATCH_TILE) * BATCH_TILE
+        tile = BATCH_TILE * ndev
+        target = -(-n // tile) * tile
     else:
         target = 1 << max(0, (n - 1).bit_length())
+        target = -(-target // ndev) * ndev
     return xs + [fill] * (target - n)
+
+
+def _resolve_backend(backend: Optional[str]) -> str:
+    """Explicit choice > runtime context (initialize_context) > autodetect.
+
+    The context hook is the reference's initializeContext("CPU"/"QAT")
+    switch (ipcl/utils/context.cpp:16-44): a context initialized with
+    "CPU" forces the pure-XLA path for engines created afterwards.
+    """
+    if backend:
+        return backend
+    from ..parallel.context import peek_context
+
+    ctx = peek_context()
+    if ctx is not None:
+        return ctx.backend
+    return default_backend()
+
+
+def _resolve_mesh(mesh):
+    """Engine mesh: explicit > context mesh when it spans >1 device."""
+    if mesh is not None:
+        return mesh if mesh.devices.size > 1 else None
+    from ..parallel.context import peek_context
+
+    ctx = peek_context()
+    if ctx is not None and ctx.mesh is not None and ctx.mesh.devices.size > 1:
+        return ctx.mesh
+    return None
 
 
 def _is_rns(backend: str) -> bool:
@@ -109,7 +163,96 @@ def _round_windows(nw: int) -> int:
     return max(8, -(-nw // 8) * 8)
 
 
-class PublicEngine:
+class _EngineCommon:
+    """Batch padding, mesh placement, stage sharding, and the hybrid split
+    shared by the public and private engines."""
+
+    # -- padding / placement ------------------------------------------------
+
+    def _pad(self, xs, fill: int) -> List[int]:
+        return _pad_batch(list(xs), fill, self.backend, self._ndev)
+
+    def _up_arr(self, a):
+        """Host [B, ...] batch array -> device, batch-sharded on a mesh."""
+        a = np.asarray(a)
+        if self.mesh is not None:
+            spec = P("batch", *([None] * (a.ndim - 1)))
+            return jax.device_put(a, NamedSharding(self.mesh, spec))
+        return jnp.asarray(a)
+
+    def _up_limbs(self, ints: Sequence[int], num_limbs: int):
+        """Host ints -> device canonical limbs via a packed upload."""
+        packed = pack_pairs_np(ints_to_limbs(list(ints), num_limbs))
+        return pops.unpack_in_op(self._up_arr(packed), num_limbs)
+
+    def _stage(self, fn, data_argnums=(), **kwargs):
+        """A jitted pipeline stage; shard_map'd over the mesh when one is
+        set (args listed in ``data_argnums`` are [B, ...] batch-sharded,
+        everything else replicated)."""
+        if self.mesh is None:
+            return functools.partial(fn, **kwargs) if kwargs else fn
+        from ..parallel.mesh import shard_stage
+
+        return shard_stage(self.mesh, fn, tuple(data_argnums), **kwargs)
+
+    # -- hybrid split (ipcl/mod_exp.cpp:688-732) ------------------------------
+
+    @property
+    def secondary(self):
+        """The pure-XLA twin engine for hybrid batch splits (the reference's
+        IPP-path analog, ipcl/mod_exp.cpp:727-728)."""
+        if self.backend == "xla":
+            return self
+        if self._secondary is None:
+            sec = self._make_secondary()
+            sec.mesh = self.mesh
+            sec._ndev = self._ndev
+            self._secondary = sec
+        return self._secondary
+
+    def _hybrid(self, op: str, method: str, size: int, operands):
+        """Split a batch at the hybrid ratio: head rows on this engine's
+        kernel backend, tail rows on the pure-XLA twin, concatenated on
+        device (JAX async dispatch overlaps the two pipelines, replacing
+        the reference's std::thread).  Returns None when no split applies:
+        full-primary policy, an xla engine, or device-resident operands
+        (which cannot be resliced host-side)."""
+        from ..ops.dispatch import hybrid_head_count
+
+        if self.backend == "xla" or any(
+            isinstance(o, DevLimbs) for o in operands
+        ):
+            return None
+        nh = hybrid_head_count(op, size, self.backend)
+        if nh >= size:
+            return None
+
+        def part(o, sl):
+            if isinstance(o, np.ndarray):
+                return o[sl]
+            o = list(o)
+            return o if len(o) == 1 and size > 1 else o[sl]  # shared scalar
+
+        tail = getattr(self.secondary, method)(
+            *[part(o, slice(nh, size)) for o in operands]
+        )
+        if nh == 0:
+            arr = tail.arr[: tail.size]
+        else:
+            head = getattr(self, method)(
+                *[part(o, slice(0, nh)) for o in operands]
+            )
+            arr = jnp.concatenate(
+                [head.arr[: head.size], tail.arr[: tail.size]]
+            )
+        Bp = len(self._pad([0] * size, 0))
+        if arr.shape[0] < Bp:  # re-pad (value 1) so kernel tiling holds
+            pad = jnp.zeros((Bp - size, arr.shape[-1]), jnp.uint32)
+            arr = jnp.concatenate([arr, pad.at[:, 0].set(1)])
+        return DevLimbs(arr, size)
+
+
+class PublicEngine(_EngineCommon):
     """Device pipelines for one public key."""
 
     def __init__(
@@ -119,8 +262,12 @@ class PublicEngine:
         hs: Optional[int],
         randbits: int,
         backend: Optional[str] = None,
+        mesh=None,
     ):
-        self.backend = backend or default_backend()
+        self.backend = _resolve_backend(backend)
+        self.mesh = _resolve_mesh(mesh)
+        self._ndev = int(self.mesh.devices.size) if self.mesh is not None else 1
+        self._secondary: Optional["PublicEngine"] = None
         self.n = n
         self.nbits = n.bit_length()
         self.nsquare = n * n
@@ -140,6 +287,11 @@ class PublicEngine:
         self._rns = None
         self._fb = None
 
+    def _make_secondary(self) -> "PublicEngine":
+        return PublicEngine(
+            self.n, self.nbits, self.hs_int, self.randbits, backend="xla"
+        )
+
     def set_hs(self, hs: int, randbits: Optional[int] = None) -> None:
         """Install new DJN parameters.  ``randbits`` must accompany a
         late enable_djn/set_djn (ipcl/pub_key.cpp:131-137): the fixed-base
@@ -151,6 +303,7 @@ class PublicEngine:
             self.randbits = randbits
         self._rns = None  # hs residues must be rebuilt
         self._fb = None  # table is sized from randbits and built from hs
+        self._secondary = None  # the xla twin re-derives hs on next use
 
     @property
     def rns(self):
@@ -198,16 +351,16 @@ class PublicEngine:
         compared to n, so this shrinks the wire + codec cost ~17x."""
         lm = -(-max_bitlength(xs) // LIMB_BITS)  # limbs covering widest value
         Lm = min(self.Ln, max(8, -(-lm // 8) * 8))
-        return jnp.asarray(ints_to_limbs(xs, Lm))
+        return self._up_arr(ints_to_limbs(xs, Lm))
 
     def _ct_operand(self, x, fill: int):
         """CipherText operand (DevLimbs or int list) -> ([Bp, L2] array, size)."""
         if isinstance(x, DevLimbs):
             return x.arr, x.size
-        xs = _pad_batch(list(x), fill, self.backend)
-        if self.backend == "xla":
+        xs = self._pad(x, fill)
+        if self.backend == "xla" and self.mesh is None:
             return jnp.asarray(ints_to_limbs(xs, self.L2)), len(x)
-        return _upload_limbs(xs, self.L2), len(x)
+        return self._up_limbs(xs, self.L2), len(x)
 
     def _cios(self) -> str:
         if _rns_interp(self.backend):
@@ -217,15 +370,21 @@ class PublicEngine:
     # -- pipelines ----------------------------------------------------------
     #
     # Every pipeline returns DevLimbs (device-resident canonical limbs);
-    # legacy list-returning wrappers materialize immediately.
+    # legacy list-returning wrappers materialize immediately.  The *_dev
+    # entry points apply the hybrid split, then forward to the _impl
+    # pipelines.
 
     def encrypt_djn_dev(self, m: Sequence[int], r) -> DevLimbs:
+        out = self._hybrid("encrypt", "_encrypt_djn_impl", len(m), (m, r))
+        return out if out is not None else self._encrypt_djn_impl(m, r)
+
+    def _encrypt_djn_impl(self, m: Sequence[int], r) -> DevLimbs:
         """``r`` is either a list of ints (injected test randoms) or a
         [B, nbytes] uint8 array straight from the OS CSPRNG
         (utils/rng.batch_random_bytes) — the fast path feeds the fixed-base
         kernel's byte-window wire format without Python-int round-trips."""
         size = len(m)
-        m_p = _pad_batch(list(m), 0, self.backend)
+        m_p = self._pad(m, 0)
         r_is_bytes = isinstance(r, np.ndarray) and r.dtype == np.uint8
         if r_is_bytes and not _is_rns(self.backend):
             # non-RNS backends take window-encoded ints: decode once
@@ -236,7 +395,7 @@ class PublicEngine:
         if r_is_bytes:
             r_p, ebits = None, self.randbits
         else:
-            r_p = _pad_batch(list(r), 0, self.backend)
+            r_p = self._pad(r, 0)
             ebits = max(self.randbits, max_bitlength(r_p))
         nw = _round_windows(num_windows(ebits))
         m_a = self._upload_narrow(m_p)
@@ -249,54 +408,64 @@ class PublicEngine:
                 if r_is_bytes:
                     rb = np.zeros((len(m_p), NP), np.uint8)
                     rb[: r.shape[0], : r.shape[1]] = r
-                    r_b = jnp.asarray(rb)
+                    r_b = self._up_arr(rb)
                 else:
-                    r_b = jnp.asarray(ints_to_bytes_le(r_p, NP))
-                res = pops.rns_fb_modexp_stage(
-                    planes, r_b, kc, interpret=interp
-                )
+                    r_b = self._up_arr(ints_to_bytes_le(r_p, NP))
+                res = self._stage(
+                    pops.rns_fb_modexp_stage, (1,), interpret=interp
+                )(planes, r_b, kc)
             else:  # injected oversized exponents: variable-base fallback
-                r_w = jnp.asarray(ints_to_windows(r_p, nw * 4))
+                r_w = self._up_arr(ints_to_windows(r_p, nw * 4))
                 hs_b = jnp.broadcast_to(self.hs_limbs, (len(m_p), self.L2))
-                res = pops.rns_modexp_stage(hs_b, r_w, kc, interpret=interp)
-            out = pops.encrypt_post_stage(
-                res, m_a, self.n_limbs, conv, n2_n, n2_n0inv, n2_r2,
-                interpret=interp,
-            )
+                res = self._stage(
+                    pops.rns_modexp_stage, (0, 1), interpret=interp
+                )(hs_b, r_w, kc)
+            out = self._stage(
+                pops.encrypt_post_stage, (0, 1), interpret=interp
+            )(res, m_a, self.n_limbs, conv, n2_n, n2_n0inv, n2_r2)
             return DevLimbs(out, size)
-        r_w = jnp.asarray(ints_to_windows(r_p, nw * 4))
-        out = pops.encrypt_djn_op(
-            m_a, r_w, self.n_limbs, n2_n, n2_n0inv, n2_r2, n2_one,
-            self.hs_limbs, backend=self.backend,
-        )
+        r_w = self._up_arr(ints_to_windows(r_p, nw * 4))
+        out = self._stage(
+            pops.encrypt_djn_op, (0, 1), backend=self.backend
+        )(m_a, r_w, self.n_limbs, n2_n, n2_n0inv, n2_r2, n2_one,
+          self.hs_limbs)
         return DevLimbs(out, size)
 
     def encrypt_normal_dev(self, m: Sequence[int], r: Sequence[int]) -> DevLimbs:
+        out = self._hybrid("encrypt", "_encrypt_normal_impl", len(m), (m, r))
+        return out if out is not None else self._encrypt_normal_impl(m, r)
+
+    def _encrypt_normal_impl(self, m, r) -> DevLimbs:
         size = len(m)
-        m_p = _pad_batch(list(m), 0, self.backend)
-        r_p = _pad_batch(list(r), 1, self.backend)
+        m_p = self._pad(m, 0)
+        r_p = self._pad(r, 1)
         m_a = self._upload_narrow(m_p)
-        r_a = jnp.asarray(ints_to_limbs(r_p, self.L2))
+        r_a = self._up_arr(ints_to_limbs(r_p, self.L2))
         n2_n, n2_n0inv, n2_r2, n2_one = self.n2_args
         if _is_rns(self.backend):
             _, kc, conv = self.rns
             interp = _rns_interp(self.backend)
             # the exponent (n) is shared by every row: SMEM shared-window path
-            res = pops.rns_modexp_shared_stage(
-                r_a, self.n_wins, kc, interpret=interp
-            )
-            out = pops.encrypt_post_stage(
-                res, m_a, self.n_limbs, conv, n2_n, n2_n0inv, n2_r2,
-                interpret=interp,
-            )
+            res = self._stage(
+                pops.rns_modexp_shared_stage, (0,), interpret=interp
+            )(r_a, self.n_wins, kc)
+            out = self._stage(
+                pops.encrypt_post_stage, (0, 1), interpret=interp
+            )(res, m_a, self.n_limbs, conv, n2_n, n2_n0inv, n2_r2)
             return DevLimbs(out, size)
-        out = pops.encrypt_normal_op(
-            m_a, r_a, self.n_wins, self.n_limbs, n2_n, n2_n0inv, n2_r2,
-            n2_one, backend=self.backend,
-        )
+        out = self._stage(
+            pops.encrypt_normal_op, (0, 1), backend=self.backend
+        )(m_a, r_a, self.n_wins, self.n_limbs, n2_n, n2_n0inv, n2_r2, n2_one)
         return DevLimbs(out, size)
 
     def obfuscate_dev(self, ct, r) -> DevLimbs:
+        out = self._hybrid(
+            "encrypt", "_obfuscate_impl",
+            ct.size if isinstance(ct, DevLimbs) else len(ct), (ct, r),
+        )
+        return out if out is not None else self._obfuscate_impl(ct, r)
+
+    def _obfuscate_impl(self, ct, r) -> DevLimbs:
         """Standalone re-obfuscation: ct * hs^r (DJN, ipcl/pub_key.cpp:51-64)
         or ct * r^n (normal, :66-80) mod n^2.  ``ct`` is DevLimbs or a host
         int list; ``r`` follows encrypt_djn_dev's conventions."""
@@ -311,7 +480,7 @@ class PublicEngine:
             if r_is_bytes:
                 r_p, ebits = None, self.randbits
             else:
-                r_p = _pad_batch(list(r), 0, self.backend)
+                r_p = self._pad(r, 0)
                 ebits = max(self.randbits, max_bitlength(r_p))
             if _is_rns(self.backend):
                 _, kc, conv = self.rns
@@ -321,50 +490,54 @@ class PublicEngine:
                     if r_is_bytes:
                         rb = np.zeros((B, NP), np.uint8)
                         rb[: r.shape[0], : r.shape[1]] = r
-                        r_b = jnp.asarray(rb)
+                        r_b = self._up_arr(rb)
                     else:
-                        r_b = jnp.asarray(ints_to_bytes_le(r_p, NP))
-                    res = pops.rns_fb_modexp_stage(
-                        planes, r_b, kc, interpret=interp
-                    )
+                        r_b = self._up_arr(ints_to_bytes_le(r_p, NP))
+                    res = self._stage(
+                        pops.rns_fb_modexp_stage, (1,), interpret=interp
+                    )(planes, r_b, kc)
                 else:
                     nw = _round_windows(num_windows(ebits))
-                    r_w = jnp.asarray(ints_to_windows(r_p, nw * 4))
+                    r_w = self._up_arr(ints_to_windows(r_p, nw * 4))
                     hs_b = jnp.broadcast_to(self.hs_limbs, (B, self.L2))
-                    res = pops.rns_modexp_stage(hs_b, r_w, kc, interpret=interp)
-                out = pops.mul_res_post_stage(ct_a, res, conv, n2_n,
-                                              interpret=interp)
+                    res = self._stage(
+                        pops.rns_modexp_stage, (0, 1), interpret=interp
+                    )(hs_b, r_w, kc)
+                out = self._stage(
+                    pops.mul_res_post_stage, (0, 1), interpret=interp
+                )(ct_a, res, conv, n2_n)
                 return DevLimbs(out, size)
             nw = _round_windows(num_windows(ebits))
-            r_w = jnp.asarray(ints_to_windows(r_p, nw * 4))
-            out = pops.obfuscate_op(
-                ct_a, self.hs_limbs, r_w, n2_n, n2_n0inv, n2_r2, n2_one,
-                backend=self.backend,
-            )
+            r_w = self._up_arr(ints_to_windows(r_p, nw * 4))
+            out = self._stage(
+                pops.obfuscate_op, (0, 2), backend=self.backend
+            )(ct_a, self.hs_limbs, r_w, n2_n, n2_n0inv, n2_r2, n2_one)
             return DevLimbs(out, size)
         # normal mode: obf = r^n, shared exponent n
-        r_p = _pad_batch(list(r), 1, self.backend)
-        r_a = jnp.asarray(ints_to_limbs(r_p, self.L2))
+        r_p = self._pad(r, 1)
+        r_a = self._up_arr(ints_to_limbs(r_p, self.L2))
         if _is_rns(self.backend):
             _, kc, conv = self.rns
             interp = _rns_interp(self.backend)
-            res = pops.rns_modexp_shared_stage(
-                r_a, self.n_wins, kc, interpret=interp
-            )
-            out = pops.mul_res_post_stage(ct_a, res, conv, n2_n,
-                                          interpret=interp)
+            res = self._stage(
+                pops.rns_modexp_shared_stage, (0,), interpret=interp
+            )(r_a, self.n_wins, kc)
+            out = self._stage(
+                pops.mul_res_post_stage, (0, 1), interpret=interp
+            )(ct_a, res, conv, n2_n)
             return DevLimbs(out, size)
-        out = pops.obfuscate_op(
-            ct_a, r_a, self.n_wins, n2_n, n2_n0inv, n2_r2, n2_one,
-            backend=self.backend,
-        )
+        out = self._stage(
+            pops.obfuscate_op, (0, 1), backend=self.backend
+        )(ct_a, r_a, self.n_wins, n2_n, n2_n0inv, n2_r2, n2_one)
         return DevLimbs(out, size)
 
     def encrypt_noobf_dev(self, m: Sequence[int]) -> DevLimbs:
         size = len(m)
-        m_p = _pad_batch(list(m), 0, self.backend)
+        m_p = self._pad(m, 0)
         m_a = self._upload_narrow(m_p)
-        out = pops.encrypt_noobf_op(m_a, self.n_limbs, self.n2_args[0])
+        out = self._stage(pops.encrypt_noobf_op, (0,))(
+            m_a, self.n_limbs, self.n2_args[0]
+        )
         return DevLimbs(out, size)
 
     def add_ctct_dev(self, a, b) -> DevLimbs:
@@ -375,38 +548,53 @@ class PublicEngine:
         n2_n, n2_n0inv, n2_r2, _ = self.n2_args
         if _is_rns(self.backend):
             _, kc, conv = self.rns
-            out = pops.add_ctct_rns_op(a_a, b_a, conv, n2_n)
+            out = self._stage(pops.add_ctct_rns_op, (0, 1))(
+                a_a, b_a, conv, n2_n
+            )
             return DevLimbs(out, size)
-        out = pops.add_ctct_op(
-            a_a, b_a, n2_n, n2_n0inv, n2_r2, backend=self._cios()
+        out = self._stage(pops.add_ctct_op, (0, 1), backend=self._cios())(
+            a_a, b_a, n2_n, n2_n0inv, n2_r2
         )
         return DevLimbs(out, size)
 
     def mul_ctpt_dev(self, ct, pt: Sequence[int]) -> DevLimbs:
+        out = self._hybrid(
+            "multiply", "_mul_ctpt_impl",
+            ct.size if isinstance(ct, DevLimbs) else len(ct), (ct, pt),
+        )
+        return out if out is not None else self._mul_ctpt_impl(ct, pt)
+
+    def _mul_ctpt_impl(self, ct, pt: Sequence[int]) -> DevLimbs:
         ct_a, size = self._ct_operand(ct, 1)
         # a scalar PT keeps its size-1 row: the shared-exponent kernel path
         # (detected BEFORE padding, which would hide it behind a full tile)
         shared_pt = len(pt) == 1 and ct_a.shape[0] != 1
-        pt_p = list(pt) if shared_pt else _pad_batch(list(pt), 0, self.backend)
+        pt_p = list(pt) if shared_pt else self._pad(pt, 0)
         nw = _round_windows(num_windows(max_bitlength(pt_p)))
-        pt_w = jnp.asarray(ints_to_windows(pt_p, nw * 4))
+        pt_w = ints_to_windows(pt_p, nw * 4)
         n2_n, n2_n0inv, n2_r2, n2_one = self.n2_args
         if _is_rns(self.backend):
             _, kc, conv = self.rns
             interp = _rns_interp(self.backend)
             if shared_pt:  # one plaintext scalar: shared-exponent kernel
-                res = pops.rns_modexp_shared_stage(
-                    ct_a, pt_w, kc, interpret=interp
-                )
+                res = self._stage(
+                    pops.rns_modexp_shared_stage, (0,), interpret=interp
+                )(ct_a, jnp.asarray(pt_w), kc)
             else:
-                res = pops.rns_modexp_stage(ct_a, pt_w, kc, interpret=interp)
-            out = pops.rns_finalize_stage(res, conv, n2_n, self.L2)
+                res = self._stage(
+                    pops.rns_modexp_stage, (0, 1), interpret=interp
+                )(ct_a, self._up_arr(pt_w), kc)
+            out = self._stage(
+                pops.rns_finalize_stage, (0,), out_limbs=self.L2
+            )(res, conv, n2_n)
             return DevLimbs(out, size)
         if shared_pt:
-            pt_w = jnp.broadcast_to(pt_w, (ct_a.shape[0], pt_w.shape[-1]))
-        out = pops.mul_ctpt_op(
-            ct_a, pt_w, n2_n, n2_n0inv, n2_r2, n2_one, backend=self.backend
-        )
+            pt_w = np.broadcast_to(
+                np.asarray(pt_w), (ct_a.shape[0], np.asarray(pt_w).shape[-1])
+            )
+        out = self._stage(
+            pops.mul_ctpt_op, (0, 1), backend=self.backend
+        )(ct_a, self._up_arr(pt_w), n2_n, n2_n0inv, n2_r2, n2_one)
         return DevLimbs(out, size)
 
     # -- legacy list-returning wrappers --------------------------------------
@@ -427,7 +615,7 @@ class PublicEngine:
         return self.mul_ctpt_dev(ct, pt).fetch()
 
 
-class PrivateEngine:
+class PrivateEngine(_EngineCommon):
     """Device pipelines for one private key (CRT + RAW decrypt)."""
 
     def __init__(
@@ -440,9 +628,13 @@ class PrivateEngine:
         hp: int,
         hq: int,
         backend: Optional[str] = None,
+        mesh=None,
     ):
         assert p < q
-        self.backend = backend or default_backend()
+        self.backend = _resolve_backend(backend)
+        self.mesh = _resolve_mesh(mesh)
+        self._ndev = int(self.mesh.devices.size) if self.mesh is not None else 1
+        self._secondary: Optional["PrivateEngine"] = None
         self.n = n
         self.nbits = n.bit_length()
         pbits = max(p.bit_length(), q.bit_length())
@@ -496,8 +688,15 @@ class PrivateEngine:
         self.hensel_n = jnp.asarray(ints_to_limbs([pow(n, -1, R_ln)], self.Ln)[0])
         self.x_limbs = jnp.asarray(ints_to_limbs([x], self.Ln)[0])
         self._p, self._q, self._pbits = p, q, pbits
+        self._lam, self._x, self._hp, self._hq = lam, x, hp, hq
         self._rns_crt = None
         self._rns_raw = None
+
+    def _make_secondary(self) -> "PrivateEngine":
+        return PrivateEngine(
+            self.n, self._p, self._q, self._lam, self._x, self._hp, self._hq,
+            backend="xla",
+        )
 
     @property
     def rns_crt(self):
@@ -548,26 +747,37 @@ class PrivateEngine:
             elif pad < 0:
                 raise ValueError("ciphertext limbs wider than decrypt expects")
             return arr, size
-        ct_p = _pad_batch(list(ct), 1, self.backend)
-        if self.backend != "xla":
-            return _upload_limbs(ct_p, width), len(ct)
+        ct_p = self._pad(ct, 1)
+        if self.backend != "xla" or self.mesh is not None:
+            return self._up_limbs(ct_p, width), len(ct)
         return jnp.asarray(ints_to_limbs(ct_p, width)), len(ct)
 
     def decrypt_crt_dev(self, ct) -> DevLimbs:
+        out = self._hybrid(
+            "decrypt", "_decrypt_crt_impl",
+            ct.size if isinstance(ct, DevLimbs) else len(ct), (ct,),
+        )
+        return out if out is not None else self._decrypt_crt_impl(ct)
+
+    def _decrypt_crt_impl(self, ct) -> DevLimbs:
         ct_a, size = self._ct_operand(ct, 2 * self.Lp2)
         if _is_rns(self.backend):
             kc2, conv2 = self.rns_crt
-            out = pops.decrypt_crt_rns_op(
+            out = self._stage(
+                pops.decrypt_crt_rns_op, (0,),
+                interpret=_rns_interp(self.backend),
+            )(
                 ct_a,
                 self.sq_n, self.sq_n0inv, self.sq_r2,
                 self.exp_wins, self.hensel, self.hfun,
                 self.pq_n, self.pq_n0inv, self.pq_r2,
                 self.pinv_q, self.p_limbs,
                 kc2, conv2,
-                interpret=_rns_interp(self.backend),
             )
         else:
-            out = pops.decrypt_crt_op(
+            out = self._stage(
+                pops.decrypt_crt_op, (0,), backend=self.backend
+            )(
                 ct_a,
                 self.sq_n,
                 self.sq_n0inv,
@@ -581,11 +791,17 @@ class PrivateEngine:
                 self.pq_r2,
                 self.pinv_q,
                 self.p_limbs,
-                backend=self.backend,
             )
         return DevLimbs(out, size)
 
     def decrypt_raw_dev(self, ct) -> DevLimbs:
+        out = self._hybrid(
+            "decrypt", "_decrypt_raw_impl",
+            ct.size if isinstance(ct, DevLimbs) else len(ct), (ct,),
+        )
+        return out if out is not None else self._decrypt_raw_impl(ct)
+
+    def _decrypt_raw_impl(self, ct) -> DevLimbs:
         ct_a, size = self._ct_operand(ct, self.mont_n2.num_limbs)
         n2_n, n2_n0inv, n2_r2, n2_one = self.mont_n2.as_device_args()
         n_n, n_n0inv, n_r2, _ = self.mont_n.as_device_args()
@@ -593,16 +809,19 @@ class PrivateEngine:
             kc, conv = self.rns_raw
             interp = _rns_interp(self.backend)
             cios = "pallas_interpret" if interp else "pallas"
-            res_r = pops.rns_modexp_shared_stage(
-                ct_a, self.lam_wins, kc, interpret=interp
-            )
-            res = pops.rns_finalize_stage(res_r, conv, n2_n, n2_n.shape[-1])
-            out = pops.hensel_post_stage(
-                res, self.hensel_n, self.x_limbs, n_n, n_n0inv, n_r2,
-                backend=cios,
-            )
+            res_r = self._stage(
+                pops.rns_modexp_shared_stage, (0,), interpret=interp
+            )(ct_a, self.lam_wins, kc)
+            res = self._stage(
+                pops.rns_finalize_stage, (0,), out_limbs=n2_n.shape[-1]
+            )(res_r, conv, n2_n)
+            out = self._stage(
+                pops.hensel_post_stage, (0,), backend=cios
+            )(res, self.hensel_n, self.x_limbs, n_n, n_n0inv, n_r2)
         else:
-            out = pops.decrypt_raw_op(
+            out = self._stage(
+                pops.decrypt_raw_op, (0,), backend=self.backend
+            )(
                 ct_a,
                 self.lam_wins,
                 n2_n,
@@ -614,7 +833,6 @@ class PrivateEngine:
                 n_n,
                 n_n0inv,
                 n_r2,
-                backend=self.backend,
             )
         return DevLimbs(out, size)
 

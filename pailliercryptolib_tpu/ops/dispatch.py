@@ -36,13 +36,37 @@ from .pallas_modexp import (
 
 
 class HybridMode(enum.IntEnum):
-    """Mirrors ipcl::HybridMode (mod_exp.hpp:16-30); values are the percent
-    of work routed to the *primary* backend."""
+    """Mirrors ipcl::HybridMode (mod_exp.hpp:15-29) value-for-value; a
+    member's value is the percent of the batch routed to the *primary*
+    backend (the fused TPU kernel — the reference's QAT analog); the rest
+    runs on the pure-XLA fallback (the reference's IPP analog)."""
 
-    OPTIMAL = 100
-    FULL = 100  # all primary (QAT-analog: the TPU kernel)
+    OPTIMAL = 95  # per-op tuned ratios, workload-size gated
+    FULL = 100  # reference "QAT": everything on the kernel backend
+    PREF_KERNEL90 = 90
+    PREF_KERNEL80 = 80
+    PREF_KERNEL70 = 70
+    PREF_KERNEL60 = 60
     HALF = 50
-    IPP = 0  # all secondary (CPU-analog: the XLA path)
+    PREF_XLA60 = 40
+    PREF_XLA70 = 30
+    PREF_XLA80 = 20
+    PREF_XLA90 = 10
+    XLA = 0  # reference "IPP": everything on the pure-XLA fallback
+    UNDEFINED = -1  # manual ratio in force (set_hybrid_ratio)
+
+
+#: Workload size above which OPTIMAL mode applies the per-op ratio
+#: (ipcl/utils/common.hpp:18: IPCL_WORKLOAD_SIZE_THRESHOLD).
+WORKLOAD_SIZE_THRESHOLD = 128
+
+#: Per-op OPTIMAL ratios: fraction of the batch on the kernel backend.
+#: The reference's QAT-tuned values are encrypt 0.25 / decrypt 0.12 /
+#: multiply 0.18 (ipcl/utils/common.hpp:20-23) because its accelerator
+#: loses to AVX512 on most of the batch; on TPU the fused kernel wins at
+#: every size, so the tuned optimum is 1.0 across the board.
+OPTIMAL_RATIOS = {"encrypt": 1.0, "decrypt": 1.0, "multiply": 1.0}
+HYBRID_RATIO_FULL = 1.0
 
 
 class _HybridParams(threading.local):
@@ -56,18 +80,24 @@ _params = _HybridParams()
 
 def set_hybrid_mode(mode: HybridMode) -> None:
     _params.mode = mode
-    _params.ratio = int(mode) / 100.0
+    _params.ratio = max(int(mode), 0) / 100.0
 
 
-def set_hybrid_ratio(ratio: float) -> None:
+def set_hybrid_ratio(ratio: float, reset_mode: bool = True) -> None:
+    """Route ``ratio`` of every batch to the kernel backend (the reference's
+    setHybridRatio, mod_exp.cpp:35-42)."""
     if not 0.0 <= ratio <= 1.0:
         raise ValueError("hybrid ratio must be in [0, 1]")
-    _params.mode = HybridMode.OPTIMAL
     _params.ratio = ratio
+    if reset_mode:
+        _params.mode = HybridMode.UNDEFINED
 
 
 def set_hybrid_off() -> None:
-    _params.mode = HybridMode.FULL
+    """Back to the single-backend default (OPTIMAL policy).  The reference's
+    setHybridOff disables its accelerator (ratio 0); here the accelerator IS
+    the platform, so "off" means "no manual split"."""
+    _params.mode = HybridMode.OPTIMAL
     _params.ratio = 1.0
 
 
@@ -75,8 +105,34 @@ def get_hybrid_ratio() -> float:
     return _params.ratio
 
 
+def get_hybrid_mode() -> HybridMode:
+    return _params.mode
+
+
 def is_hybrid_optimal() -> bool:
     return _params.mode == HybridMode.OPTIMAL
+
+
+def hybrid_head_count(op: str, size: int, backend: str) -> int:
+    """Rows of a ``size``-row batch to run on the primary (kernel) backend;
+    the rest goes to the pure-XLA fallback pipeline.
+
+    The reference's split point (ipcl/mod_exp.cpp:688-732) with its per-op
+    OPTIMAL policy (isHybridOptimal branches at pub_key.cpp:119-125,
+    pri_key.cpp:76-82, ciphertext.cpp:153-159).  Truncation matches the
+    reference's static_cast<size_t>(ratio * size).
+    """
+    if backend == "xla":
+        return size  # the primary IS the fallback: nothing to split
+    if _params.mode == HybridMode.OPTIMAL:
+        ratio = (
+            OPTIMAL_RATIOS.get(op, HYBRID_RATIO_FULL)
+            if size > WORKLOAD_SIZE_THRESHOLD
+            else HYBRID_RATIO_FULL
+        )
+    else:
+        ratio = _params.ratio
+    return size if ratio >= 1.0 else int(ratio * size)
 
 
 def default_backend() -> str:

@@ -35,6 +35,9 @@ def initialize_context(
     *,
     distributed: bool = False,
     mesh_devices: Optional[int] = None,
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
 ) -> PaillierContext:
     """Bring up the runtime.
 
@@ -44,7 +47,11 @@ def initialize_context(
       - "MESH"/"HYBRID"/"QAT": accepted for API parity with the reference's
         string map (ipcl/utils/context.cpp:16-21); "QAT"/"HYBRID" behave as
         "DEFAULT" since the accelerator here *is* the default backend.
-    distributed: call jax.distributed.initialize() first (multi-host).
+    distributed: call jax.distributed.initialize() first (multi-host);
+    coordinator_address / num_processes / process_id are forwarded (all
+    optional on TPU pods, required for CPU/GPU multi-process bring-up).
+    The resulting mesh then spans every device in the job, so the public
+    encrypt/decrypt APIs shard batches across hosts transparently.
     """
     global _CONTEXT
     choice = choice.upper()
@@ -53,13 +60,23 @@ def initialize_context(
     if _CONTEXT is not None and _CONTEXT.initialized:
         return _CONTEXT  # idempotent, like isUsingQAT (context.cpp:30-38)
     if distributed:
-        jax.distributed.initialize()
+        kwargs = {}
+        if coordinator_address is not None:
+            kwargs["coordinator_address"] = coordinator_address
+        if num_processes is not None:
+            kwargs["num_processes"] = num_processes
+        if process_id is not None:
+            kwargs["process_id"] = process_id
+        jax.distributed.initialize(**kwargs)
     devices = jax.devices()
     n = mesh_devices or len(devices)
     mesh = jax.sharding.Mesh(devices[:n], ("batch",))
-    backend = "xla" if choice == "CPU" else os.environ.get(
-        "PAILLIER_TPU_BACKEND", "pallas"
-    )
+    if choice == "CPU":
+        backend = "xla"  # force the fallback, like initializeContext("CPU")
+    else:
+        from ..ops.dispatch import default_backend
+
+        backend = os.environ.get("PAILLIER_TPU_BACKEND") or default_backend()
     _CONTEXT = PaillierContext(choice=choice, mesh=mesh, backend=backend)
     return _CONTEXT
 
@@ -67,6 +84,12 @@ def initialize_context(
 def get_context() -> PaillierContext:
     if _CONTEXT is None:
         return initialize_context()
+    return _CONTEXT
+
+
+def peek_context() -> Optional[PaillierContext]:
+    """The live context if initialize_context ran, else None (engines use
+    this: a context must be opted into, never auto-created)."""
     return _CONTEXT
 
 

@@ -120,6 +120,44 @@ def sharded_decrypt_crt(mesh: Mesh, backend: str):
     return jax.jit(fn)
 
 
+def shard_stage(mesh: Mesh, fn, data_argnums, **kwargs):
+    """Generic transparent sharding for an engine pipeline stage.
+
+    ``fn`` is a jitted stage over [B, ...] batch arrays plus replicated
+    constants; the args listed in ``data_argnums`` are sharded on their
+    leading axis over the mesh's 'batch' axis (which must divide B — the
+    engines pad to tile*ndev), everything else (scalars, const arrays,
+    grouped-constant dicts) is replicated.  Outputs are [B, ...] and come
+    back batch-sharded, so chained stages never gather.
+
+    This is what makes `initialize_context` + a >1-device mesh turn the
+    public PublicKey.encrypt / PrivateKey.decrypt APIs into multi-chip
+    programs with no manual shard_map plumbing (SURVEY.md §2.5).
+    """
+    data_argnums = frozenset(data_argnums)
+    bound = functools.partial(fn, **kwargs) if kwargs else fn
+
+    def call(*args):
+        def data_spec(a):
+            return P("batch", *([None] * (a.ndim - 1)))
+
+        in_specs = tuple(
+            jax.tree.map(data_spec if i in data_argnums else (lambda _: P()), a)
+            for i, a in enumerate(args)
+        )
+        out_sd = jax.eval_shape(bound, *args)
+        out_specs = jax.tree.map(
+            lambda s: P("batch", *([None] * (len(s.shape) - 1))), out_sd
+        )
+        sm = jax.shard_map(
+            bound, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+        return jax.jit(sm)(*args)
+
+    return call
+
+
 def shard_batch(arr, mesh: Mesh):
     """Place a [B, ...] host array with its batch dim sharded over all mesh
     devices (input distribution; the only 'communication' in the design)."""
