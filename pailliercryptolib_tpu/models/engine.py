@@ -707,7 +707,15 @@ class PrivateEngine(_EngineCommon):
             from ..ops.pallas_rns2 import stack_group_consts2
             from ..ops.rns import GUARD_FACTOR, RNSContext
 
-            bits = 2 * self._pbits + GUARD_FACTOR.bit_length()
+            # M_A >= 2^(15*Lp2+1) > R lets decrypt feed the Montgomery-
+            # folded base (< R, ops/bigint.py mod_fold_combine) straight
+            # into the kernel: the first to-Montgomery multiply contracts
+            # R*N/M_A + 2N < 3N, so the CIOS canonicalizing multiply the
+            # fold otherwise needs disappears.
+            bits = max(
+                2 * self._pbits + GUARD_FACTOR.bit_length(),
+                LIMB_BITS * self.Lp2 + 1,
+            )
             cp = RNSContext.create(
                 self._p * self._p, in_limbs=self.Lp2, product_bits=bits
             )

@@ -267,22 +267,22 @@ def decrypt_crt_rns_op(
     Lp2 = sq_n.shape[-1]
     cios = _cios_backend(interpret)
 
-    # stage 1: fold ct into both residue systems, then fully reduce (< h^2)
+    # stage 1: fold ct into both residue systems — ONE Montgomery product
+    # of the high half plus a combine.  The result is < R (not < h^2); the
+    # kernel's RNS base product is sized above R (engine.rns_crt), so the
+    # first to-Montgomery multiply absorbs the excess and no CIOS
+    # canonicalizing multiply is needed.
     two = sq_n.shape[0]
     x_hi = jnp.broadcast_to(ct[None, :, Lp2:], (two,) + ct[:, Lp2:].shape)
     x_lo = jnp.broadcast_to(ct[None, :, :Lp2], (two,) + ct[:, :Lp2].shape)
     folded = mont_raw_backend_grouped(x_hi, sq_r2[:, None, :], sq_n, sq_n0inv, cios)
     bases = jax.vmap(mod_fold_combine, in_axes=(0, 0, 0))(folded, x_lo, sq_n)
-    plain_one = jnp.zeros((Lp2,), _U32).at[0].set(1)
-    bases = mod_mul_backend_grouped(
-        bases, plain_one[None, None, :], sq_n, sq_n0inv, sq_r2, cios
-    )  # canonical, < h^2
 
     # stage 2: grouped RNS modexp (limbs in, residues out); the exponents
     # (p-1, q-1) are shared by every row, so the SMEM shared-window kernel
     # applies (no per-row window selects)
     res_rns = pallas_rns_modexp2(
-        bases, exp_wins[:, 0], kc2, shared=True, streams=2,
+        bases, exp_wins[:, 0], kc2, shared=True, streams=4,
         interpret=interpret,
     )
     res = jax.vmap(_rns_finalize, in_axes=(0, 0, 0, None))(
@@ -356,13 +356,19 @@ def fb_table_stage(g_limbs, kc, conv, interpret=False):
     """Build the fixed-base table planes from g_limbs [NP, L]: canonical
     limbs of g_i = base^(2^(8 i)) mod N (host-computed square chain).
     Returns (tAlo, tAhi, tBlo, tBhi): bf16 [1, NP, 256, k(+1)]."""
-    from .rns import limbs_to_rns, rns_mont_mul
+    from .rns import limbs_to_rns, mulmod, rns_mont_mul
 
     k = kc["sig0"].shape[-1]
     res = limbs_to_rns(g_limbs, conv)  # [NP, K], values < N
     gm = rns_mont_mul(res, conv["mont_sq"][None, :], conv)  # Montgomery form
+    # the kernel carries the B lanes in the scaled domain (z = r * w):
+    # pre-scale g's B-side once (kc["wvec"] holds w over the Bx lanes)
+    gB = mulmod(
+        gm[:, k:], kc["wvec"][0][None, :], conv["mods"][k:],
+        conv["barrett"][k:],
+    )
     tabA, tabB = pallas_fb_table2(
-        gm[None, :, :k], gm[None, :, k:], kc, interpret=interpret
+        gm[None, :, :k], gB[None], kc, interpret=interpret
     )
     return fb_digit_planes2(tabA, tabB)
 

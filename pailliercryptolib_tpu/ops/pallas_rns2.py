@@ -1,29 +1,37 @@
-"""Fused-constant RNS Montgomery modexp kernels, v2.
+"""Fused-constant RNS Montgomery modexp kernels, v3.
 
-Same Bajard-Imbert algorithm as ops/pallas_rns.py (v1) with the VPU side
-restructured around measured costs (v1 on a v5e: 46 ms plumbing + 32 ms
-Barrett chains + 16 ms MXU per 2048-element CRT-decrypt batch, zero
-overlap).  Differences from v1, in decreasing order of measured impact:
+Same Bajard-Imbert algorithm as the XLA oracle (ops/rns.py) with the VPU
+side restructured around measured costs.  The kernel is VPU-issue-bound
+(knockout experiments on a v5e: MXU 5%, Barrett chains 37%, everything
+else muls/splits/casts), so v3 exists to minimize per-Montgomery-multiply
+VPU op count.  Techniques, in decreasing order of measured impact:
 
-1. The two RNS bases live in SEPARATE arrays (x_A [Bt, k], x_B [Bt, k+1])
-   instead of one [Bt, K]: v1 paid a lane-relayout for ``s[:, k:]`` and a
-   concat per Montgomery multiply (offset-149 slices shift every vreg).
-2. The full-K reduction of s = x*y is GONE: the raw 28-bit product is split
-   once (hi = u >> 14, lo = u & mask) and every consumer gets the 2^14
-   factor folded into its per-lane constant (sigma and r are linear in s).
-3. N * M_A^{-1} mod b is folded into the T1 matmul weights, so the
-   (s + q_hat*N) Barrett and the *M_A^{-1} multiply collapse into ONE fused
-   reduction: r_B = red(u_hi*c1 + u_lo*c0 + q2 + alpha*c_a).
-4. Each matmul-mod keeps only its FIRST Barrett; the second is deferred
-   into the consumer's fused reduction (bounds stay < 2^29.1, see the
-   inline bound notes).
-5. The Shenoy correction is one fused Barrett: r_A = red(ext' + 2^15*a
-   - alpha2 * (M_B mod a)) — the 2^15*a row keeps the subtraction
-   non-negative.
-6. Conditional subtracts use uint wraparound: min(r, r - c*m) replaces
-   where(r >= c*m, ...), 2 ops instead of 3.
-7. Karatsuba digit planes: 3 MXU matmuls per base extension instead of 4
-   (sum plane entries <= 254, exact in bf16).
+1. The two RNS bases live in SEPARATE arrays (x_A [Bt, k], x_B [Bt, k+1]):
+   a concatenated [Bt, K] layout pays a lane-relayout per multiply
+   (offset-149 slices shift every vreg).
+2. **Scaled-B carry**: the B-side residues are carried pre-multiplied by
+   w_j = (M_B/b_j)^{-1} mod b_j (and M_B^{-1} mod m_r on the redundant
+   lane).  The per-lane constants of the fused reduction absorb w, so the
+   Shenoy weights sigma2 = r_B * w that v2 computed with a separate
+   full-width mulmod now fall out of the reduction for free.  The scaled
+   domain is internal: inputs are scaled via the conversion constants
+   (CinB columns) and outputs unscaled once per kernel invocation.
+3. **Deferred matmul reductions**: a base extension's raw digit-plane
+   outputs are NOT Barrett-reduced; they enter the consumer's fused
+   reduction as five 2^7/2^14/2^21/2^28-weighted terms (the 2^21/2^28
+   weights folded as per-lane constants).  Each mont_mul runs exactly
+   THREE full-width Barrett chains (sigma, z_B, r_A) instead of six.
+4. The raw 28-bit product is split once (hi = u >> 14, lo = u & mask) and
+   every consumer folds the 2^14 factor into its per-lane constant.
+5. N * M_A^{-1} mod b rides the T1 matmul weights, so (s + q_hat*N)*MAinv
+   is ONE fused reduction: z_B = red(u_hi*c1 + u_lo*c0 + q2t + alpha*c_a).
+6. The Kawamura alpha fraction rides the T1 base-extension matmul as one
+   extra weight column (floor(2^27/a_i)), replacing a full-width f32
+   convert + multiply + cross-lane reduction with a narrow column fold.
+7. Four-matmul int8 digit planes with i32 accumulation (the MXU is ~90%
+   idle, s8s8s32 runs at 2x bf16 rate, and the i32 outputs need no
+   float->int converts; Karatsuba's sum plane saved MXU time v3 doesn't
+   need and cost VPU adds/casts it can't afford).
 8. A shared-exponent kernel variant keeps the windows in SMEM and gathers
    the table row by scalar index — decrypt exponents (p-1, q-1), RAW
    lambda, and normal-mode n are the same for every batch row, so the
@@ -31,8 +39,9 @@ overlap).  Differences from v1, in decreasing order of measured impact:
 
 Numerical contracts (checked in tests/test_rns_backend.py against pow()):
 moduli in (2^13, 2^14); residues canonical (< m) between multiplies;
-represented values < 3N; fused Barrett inputs < 2^29.1 with quotient error
-< 6 (three min-layers: 4m, 2m, m handle < 8m).
+fused Barrett inputs < 2^29.7 with quotient error < 8 (three
+conditional-subtract layers: 4m, 2m, m handle < 8m); represented values
+< 3N.
 
 Reference anchor: this is the TPU replacement for the reference's entire
 modexp acceleration stack (ipcl/mod_exp.cpp:446-533 mbx_exp_mb8 and the QAT
@@ -63,19 +72,21 @@ FB_WINDOW_BITS = 8
 FB_TABLE = 1 << FB_WINDOW_BITS
 
 
-def _red_mu(v, m, mu):
-    """Fused Barrett: v < 2^29.2 -> v mod m (m in (2^13,2^14), mu=2^28/m).
+def _red_mu(v, m, mu, layers=3):
+    """Fused Barrett: v < 2^29.7 -> v mod m (m in (2^13,2^14), mu=2^28/m).
 
-    Quotient error < 6 at this bound, so r < 8m after the estimate; the
-    4m/2m/m conditional-subtract chain canonicalizes.  (Mosaic cannot lower
-    unsigned min, so these stay where-selects.)"""
+    Quotient error < 8 at this bound, so r < 8m after the estimate; the
+    4m/2m/m conditional-subtract chain canonicalizes.  ``layers=2`` stops
+    at r < 2m for consumers that tolerate a redundant residue (sigma).
+    (Mosaic cannot lower unsigned min, so these stay where-selects.)"""
     q = ((v >> MOD_BITS) * mu) >> MOD_BITS
     r = v - q * m
     m4 = m << 2
     m2 = m << 1
     r = jnp.where(r >= m4, r - m4, r)
     r = jnp.where(r >= m2, r - m2, r)
-    r = jnp.where(r >= m, r - m, r)
+    if layers >= 3:
+        r = jnp.where(r >= m, r - m, r)
     return r
 
 
@@ -84,16 +95,19 @@ def _mulmod(x, y, m, mu):
 
 
 def _mm(a, b):
+    """bf16 matmul with f32 accumulate (one-hot table gathers)."""
     return jax.lax.dot_general(
         a, b, (((1,), (0,)), ((), ())), preferred_element_type=_F32
     )
 
 
-def _planes3(x):
-    """u32 (< 2^14) -> Karatsuba digit planes (lo, hi, lo+hi) in bf16."""
-    lo_i = (x & DIGIT_MASK).astype(_I32)
-    hi_i = (x >> DIGIT_BITS).astype(_I32)
-    return lo_i.astype(_BF16), hi_i.astype(_BF16), (lo_i + hi_i).astype(_BF16)
+def _mm8(a, b):
+    """Exact integer matmul on the MXU: int8 digit planes, i32 accumulate
+    (v5e runs s8s8s32 at 2x the bf16 rate; the i32 output needs no
+    float->int converts, unlike the bf16/f32 form)."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=_I32
+    )
 
 
 def _to_u32(xf):
@@ -104,43 +118,56 @@ def _to_bf16(x):
     return x.astype(_I32).astype(_BF16)
 
 
-# Karatsuba's sum plane accumulates 254^2-sized products: exact in f32 only
-# while 254^2 * terms < 2^24, i.e. contraction length <= _KARATSUBA_MAX_K.
-_KARATSUBA_MAX_K = (1 << 24) // (254 * 254)  # 260
+_I8 = jnp.int8
 
 
-def _mm3_raw(x, Tlo, Thi, Tsum, m, mu):
-    """(x @ T) with T pre-split into digit planes; returns the HALF-reduced
-    value t1*2^7 + ll < 2^22.4 (congruent mod m columnwise).  The final
-    reduction is deferred to the consumer's fused Barrett.
+def _mm_terms(x, Tlo, Thi, c28, c21, ncols=None):
+    """Deferred-reduction base extension: the 2^14-radix fold of x @ T.
 
-    Uses the 3-matmul Karatsuba form when the contraction is short enough
-    for the sum plane to stay f32-exact, else the 4-matmul form (Tsum is
-    then ignored)."""
-    xlo_i = (x & DIGIT_MASK).astype(_I32)
-    xhi_i = (x >> DIGIT_BITS).astype(_I32)
-    xlo, xhi = xlo_i.astype(_BF16), xhi_i.astype(_BF16)
-    p_ll = _mm(xlo, Tlo)
-    p_hh = _mm(xhi, Thi)
-    if x.shape[-1] <= _KARATSUBA_MAX_K:
-        xsum = (xlo_i + xhi_i).astype(_BF16)
-        mid = _mm(xsum, Tsum) - p_ll - p_hh  # exact in f32 (< 2^24)
-    else:
-        mid = _mm(xlo, Thi) + _mm(xhi, Tlo)
-    t1 = _red_mu((_to_u32(p_hh) << DIGIT_BITS) + _to_u32(mid), m, mu)
-    return (t1 << DIGIT_BITS) + _to_u32(p_ll)
+    x [Bt, k] < 2^14 (7-bit digit planes as int8; products <= 127^2
+    accumulate exactly in i32); T pre-split into 7-bit int8 planes.
+    Returns a u32 value < 2^28.3 congruent to (x @ T) columnwise mod m,
+    with the 2^28 and 2^21 plane weights folded through the per-lane
+    constants c28 = 2^28 mod m, c21 = 2^21 mod m.  The single Barrett
+    lives in the CONSUMER's fused reduction.
+
+    ``ncols``: when T carries extra non-modular columns (the Kawamura
+    alpha weights), fold only the first ``ncols`` columns and return the
+    raw (ll, mid, hh) i32 planes alongside for the caller to combine."""
+    xlo = (x & DIGIT_MASK).astype(_I32).astype(_I8)
+    xhi = (x >> DIGIT_BITS).astype(_I32).astype(_I8)
+    ll = _mm8(xlo, Tlo)
+    mid = _mm8(xlo, Thi) + _mm8(xhi, Tlo)
+    hh = _mm8(xhi, Thi)
+    raw = (ll, mid, hh)
+    if ncols is not None:
+        ll = ll[:, :ncols]
+        mid = mid[:, :ncols]
+        hh = hh[:, :ncols]
+    llu, midu, hhu = ll.astype(_U32), mid.astype(_U32), hh.astype(_U32)
+    t = (
+        (hhu >> MOD_BITS) * c28
+        + ((hhu & _MASK14) << MOD_BITS)
+        + (midu >> MOD_BITS) * c21
+        + ((midu & _MASK14) << DIGIT_BITS)
+        + llu
+    )  # < 2^28 + 2^23.3 + 2^25 + 2^21 + 2^23.3 < 2^28.3
+    if ncols is not None:
+        return t, raw
+    return t
 
 
 # ---------------------------------------------------------------------------
 # constants
 # ---------------------------------------------------------------------------
 
-# number of leading constant refs shared by every v2 kernel
-_MM2_NREFS = 20
-
-
 def stack_group_consts2(ctxs) -> dict:
-    """Build the v2 fused constants from RNSContexts (all same k)."""
+    """Build the v3 fused constants from RNSContexts (all same k).
+
+    The B-side (and m_r) lanes of every Montgomery-domain constant are
+    pre-multiplied by w = [(M_B/b_j)^{-1} mod b_j | M_B^{-1} mod m_r]
+    (the scaled-B carry, see module docstring); ``wvec`` is kept in the
+    dict for host-side scaling of extra kernel inputs (fixed-base g)."""
     import numpy as np
 
     k = ctxs[0].k
@@ -152,56 +179,89 @@ def stack_group_consts2(ctxs) -> dict:
         muA = c.barrett[:k]
         muBx = c.barrett[k:]
         N = c.N
+        mr = int(c.mods[-1])
         sig0 = c.sigma_c_A.astype(np.uint64)
         sig1 = (sig0 << MOD_BITS) % A
+        # scaled-B carry weights over the Bx lanes
+        wvec = np.concatenate(
+            [c.MBj_inv_B, np.array([c.MBinv_mr], np.uint32)]
+        ).astype(np.uint64)
+        winv = np.array(
+            [pow(int(w), -1, int(m)) for w, m in zip(wvec, Bx)], np.uint64
+        )
         MAinv = c.MAinv_B.astype(np.uint64)  # over Bx
-        MAinv1 = (MAinv << MOD_BITS) % Bx
-        NMAinv = (np.array([N % int(m) for m in Bx], np.uint64) * MAinv) % Bx
+        c0 = (MAinv * winv) % Bx
+        c1 = (c0 << MOD_BITS) % Bx
+        NMAinvW = (
+            np.array([N % int(m) for m in Bx], np.uint64) * MAinv % Bx
+        ) * wvec % Bx
         negMA = np.array([(-c.MA) % int(m) for m in Bx], np.uint64)
-        cAlpha = (negMA * NMAinv) % Bx
-        # T1p = T1 * (N * MAinv) mod m_j   [k, k+1]
-        T1p = (c.T1.astype(np.uint64) * NMAinv[None, :]) % Bx[None, :]
-        # T2 extended with the m_r column  [k, k+1]
-        T2x = np.concatenate([c.T2, c.T2r[:, None]], axis=1).astype(np.uint64)
-        # fused Shenoy pad rows
-        padA = (A << 15).astype(np.uint32)  # 2^15 * a  (> alpha2*MB_mod_A)
+        cAlpha = (negMA * NMAinvW) % Bx
+        # T1p = T1 * (N * MAinv * w) mod m_j   [k, k+1], plus one extra
+        # column of Kawamura alpha weights floor(2^27 / a_i): the alpha
+        # fraction sum rides the SAME base-extension matmul (its raw
+        # column is combined in f32 and floored; quantization error
+        # <= k * 2^-13 and f32 error ~2^-12 both sit inside ALPHA_MARGIN)
+        T1p = (c.T1.astype(np.uint64) * NMAinvW[None, :]) % Bx[None, :]
+        aw = ((np.uint64(1) << 27) // A).astype(np.uint64)
+        T1p = np.concatenate([T1p, aw[:, None]], axis=1)  # [k, k+2]
+        # T2 extended with the m_r column scaled by M_B^{-1} mod m_r
+        # (folds the alpha2 = diff * MBinv multiply into the weights)
+        T2r_s = (c.T2r.astype(np.uint64) * np.uint64(c.MBinv_mr)) % np.uint64(mr)
+        T2x = np.concatenate(
+            [c.T2.astype(np.uint64), T2r_s[:, None]], axis=1
+        )
+        # fused Shenoy pad row: 2^14 * a >= alpha2 * (M_B mod a)
+        padA = (A << MOD_BITS).astype(np.uint32)
         # modsAr: A-moduli columns + m_r column (T2x reduction targets)
         modsAr = np.concatenate([c.mods[:k], c.mods[-1:]])
         muAr = np.concatenate([muA, c.barrett[-1:]])
 
         def planes(T):
-            lo = (T & DIGIT_MASK).astype(np.float32)
-            hi = (T >> DIGIT_BITS).astype(np.float32)
-            return (
-                lo.astype(jnp.bfloat16),
-                hi.astype(jnp.bfloat16),
-                (lo + hi).astype(jnp.bfloat16),
-            )
+            lo = (T & DIGIT_MASK).astype(np.int8)
+            hi = (T >> DIGIT_BITS).astype(np.int8)
+            return lo, hi
 
-        T1lo, T1hi, T1sum = planes(T1p.astype(np.uint32))
-        T2lo, T2hi, T2sum = planes(T2x.astype(np.uint32))
-        mr = int(c.mods[-1])
+        T1lo, T1hi = planes(T1p.astype(np.uint32))
+        T2lo, T2hi = planes(T2x.astype(np.uint32))
+        # deferred-reduction plane weights per target column
+        c28B = ((np.uint64(1) << 28) % Bx).astype(np.uint32)
+        c21B = ((np.uint64(1) << 21) % Bx).astype(np.uint32)
+        Ar = modsAr.astype(np.uint64)
+        c28A = ((np.uint64(1) << 28) % Ar).astype(np.uint32)
+        c21A = ((np.uint64(1) << 21) % Ar).astype(np.uint32)
         return dict(
             modsA=c.mods[:k], muA=muA,
             modsBx=c.mods[k:], muBx=muBx,
-            modsB=c.mods[k : 2 * k], muB=c.barrett[k : 2 * k],
             modsAr=modsAr, muAr=muAr,
             sig0=sig0.astype(np.uint32), sig1=sig1.astype(np.uint32),
-            cMAinv0=MAinv.astype(np.uint32), cMAinv1=MAinv1.astype(np.uint32),
+            c0=c0.astype(np.uint32), c1=c1.astype(np.uint32),
             cAlpha=cAlpha.astype(np.uint32),
-            MBj_inv_B=c.MBj_inv_B,
+            c28B=c28B, c21B=c21B, c28A=c28A, c21A=c21A,
             MB_mod_A=c.MB_mod_A,
             padA=padA,
+            winv=winv.astype(np.uint32),
+            wvec=wvec.astype(np.uint32),
             inv_a_f32=c.inv_a_f32,
-            T1lo=T1lo, T1hi=T1hi, T1sum=T1sum,
-            T2lo=T2lo, T2hi=T2hi, T2sum=T2sum,
-            # scalars: m_r, mu_r, MB^{-1} mod m_r, 2*m_r (diff pad)
+            T1lo=T1lo, T1hi=T1hi,
+            T2lo=T2lo, T2hi=T2hi,
+            # scalars: m_r, mu_r, (unused), 2*m_r (alpha2 pad)
             scal=np.array(
-                [mr, int(c.barrett[-1]), int(c.MBinv_mr), 2 * mr], np.uint32
+                [mr, int(c.barrett[-1]), 0, 2 * mr], np.uint32
             ),
-            sqA=c.mont_sq[:k], sqB=c.mont_sq[k:],
-            oneA=c.mont_one[:k], oneB=c.mont_one[k:],
-            CinA=c.Cin[:, :k], CinB=c.Cin[:, k:],
+            sqA=c.mont_sq[:k],
+            sqB=((c.mont_sq[k:].astype(np.uint64) * wvec) % Bx).astype(
+                np.uint32
+            ),
+            oneA=c.mont_one[:k],
+            oneB=((c.mont_one[k:].astype(np.uint64) * wvec) % Bx).astype(
+                np.uint32
+            ),
+            poneB=wvec.astype(np.uint32),  # plain 1 in the scaled domain
+            CinA=c.Cin[:, :k],
+            CinB=(
+                (c.Cin[:, k:].astype(np.uint64) * wvec[None, :]) % Bx[None, :]
+            ).astype(np.uint32),
         )
 
     ds = [per_ctx(c) for c in ctxs]
@@ -212,10 +272,10 @@ def stack_group_consts2(ctxs) -> dict:
 
 
 _MM2_KEYS = (
-    "scal", "modsA", "muA", "modsBx", "muBx", "modsB", "muB", "modsAr",
-    "muAr", "sig0", "sig1", "cMAinv0", "cMAinv1", "cAlpha", "MBj_inv_B",
-    "MB_mod_A", "padA", "inv_a_f32", "T1lo", "T1hi", "T1sum", "T2lo",
-    "T2hi", "T2sum", "sqA", "sqB", "oneA", "oneB",
+    "scal", "modsA", "muA", "modsBx", "muBx", "modsAr", "muAr", "sig0",
+    "sig1", "c0", "c1", "cAlpha", "c28B", "c21B", "c28A", "c21A",
+    "MB_mod_A", "padA", "winv", "T1lo", "T1hi", "T2lo",
+    "T2hi", "sqA", "sqB", "oneA", "oneB", "poneB",
 )
 _MM2_NREFS = len(_MM2_KEYS)
 
@@ -253,76 +313,79 @@ def _mm2_cref(refs):
 
 
 def _make_mont_mul2(c, streams=1):
-    """Build the fused-reduction Montgomery multiply on (xA, xB) pairs.
+    """Build the fused-reduction Montgomery multiply on (xA, zB) pairs.
 
-    xA [Bt, k], xB [Bt, k+1] (m_r rides the last B lane), all canonical
-    (< m); returns (rA, rB) canonical residues of x*y*M_A^{-1} mod N (a
-    representative < 3N).
+    xA [Bt, k] canonical A-side residues; zB [Bt, k+1] canonical SCALED
+    B-side residues (z_j = r_j * w_j, m_r on the last lane).  Returns
+    (rA, zB) for x*y*M_A^{-1} mod N (a representative < 3N).  Exactly
+    three full-width Barrett chains per multiply (sigma at 2 layers, z_B,
+    r_A) — the base extensions enter the consumers unreduced via
+    _mm_terms, and the Shenoy weights fall out of the scaled carry.
 
     ``streams > 1`` returns a multi-stream form: it takes LISTS of operand
     pairs and advances them stage-interleaved, so the Mosaic scheduler can
     overlap one stream's MXU base-extension with another's VPU reductions
     (within a single multiply the dependence chain forbids any overlap)."""
     k = c["sig0"].shape[-1]
-    scal = c["scal"]  # [1, 4]: m_r, mu_r, MBinv_mr, 2*m_r
+    scal = c["scal"]  # [1, 4]: m_r, mu_r, (unused), 2*m_r
     m_r, mu_r = scal[:, 0:1], scal[:, 1:2]
-    MBinv_mr, two_mr = scal[:, 2:3], scal[:, 3:4]
+    two_mr = scal[:, 3:4]
 
     def mont_mul_multi(xs, ys):
-        n = len(xs)
         us = [(xA * yA, xB * yB) for (xA, xB), (yA, yB) in zip(xs, ys)]
         spl = [
             (uA >> MOD_BITS, uA & _MASK14, uB >> MOD_BITS, uB & _MASK14)
             for uA, uB in us
         ]
-        # sigma = (s_A * -N^{-1} (M_A/a_i)^{-1}) mod a_i, from the raw split
+        # sigma = (s_A * -N^{-1} (M_A/a_i)^{-1}) mod a_i, from the raw
+        # split; canonical (the int8 digit planes need 7-bit digits)
         sigmas = [
             _red_mu(hA * c["sig1"] + lA * c["sig0"], c["modsA"], c["muA"])
             for hA, lA, _, _ in spl
         ]
-        # Kawamura alpha estimate (undershoots by at most 1)
-        alphas = [
-            _to_u32(jnp.maximum(jnp.floor(
-                jnp.sum(s.astype(_I32).astype(_F32) * c["inv_a_f32"],
-                        axis=-1, keepdims=True) - ALPHA_MARGIN), 0.0))
+        # base extension A -> B+mr with N*MAinv*w folded into the
+        # weights; the last T1 column carries the Kawamura alpha sum
+        kp1 = c["c28B"].shape[-1]
+        tB_raws = [
+            _mm_terms(s, c["T1lo"], c["T1hi"], c["c28B"], c["c21B"],
+                      ncols=kp1)
             for s in sigmas
         ]
-        # base extension A -> B+mr with N*MAinv folded into the weights;
-        # q2 is HALF-reduced (< 2^22.3)
-        q2s = [
-            _mm3_raw(s, c["T1lo"], c["T1hi"], c["T1sum"], c["modsBx"],
-                     c["muBx"])
-            for s in sigmas
-        ]
-        # r_B = (s + q_hat N) MAinv mod b, all terms fused: < 2^29.1
-        rBs = [
+        # Kawamura alpha estimate from the matmul's alpha column
+        # (undershoots by at most 1, never overshoots)
+        alphas = []
+        for _, (ll, mid, hh) in tB_raws:
+            af = (
+                ll[:, kp1:].astype(_F32)
+                + mid[:, kp1:].astype(_F32) * float(1 << DIGIT_BITS)
+                + hh[:, kp1:].astype(_F32) * float(1 << (2 * DIGIT_BITS))
+            ) * (1.0 / (1 << 27))
+            alphas.append(
+                _to_u32(jnp.maximum(jnp.floor(af - ALPHA_MARGIN), 0.0))
+            )
+        # z_B = (s + q_hat N) MAinv w mod b, all terms fused: < 2^29.7
+        zBs = [
             _red_mu(
-                hB * c["cMAinv1"] + lB * c["cMAinv0"] + q2 + a * c["cAlpha"],
+                hB * c["c1"] + lB * c["c0"] + tB + a * c["cAlpha"],
                 c["modsBx"], c["muBx"],
             )
-            for (_, _, hB, lB), q2, a in zip(spl, q2s, alphas)
+            for (_, _, hB, lB), (tB, _), a in zip(spl, tB_raws, alphas)
         ]
-        # exact Shenoy extension back to base A via m_r
-        sigma2s = [
-            _mulmod(rB[:, :k], c["MBj_inv_B"], c["modsB"], c["muB"])
-            for rB in rBs
-        ]
-        exts = [
-            _mm3_raw(s2, c["T2lo"], c["T2hi"], c["T2sum"], c["modsAr"],
-                     c["muAr"])
-            for s2 in sigma2s
-        ]  # [Bt, k+1] half-reduced; last column = m_r
+        # exact Shenoy extension back to base A: z_B IS the weight vector
+        tAs = [
+            _mm_terms(zB[:, :k], c["T2lo"], c["T2hi"], c["c28A"], c["c21A"])
+            for zB in zBs
+        ]  # [Bt, k+1] unreduced terms; last column = m_r (MBinv-scaled)
         outs = []
-        for ext, rB in zip(exts, rBs):
-            diff = _red_mu(
-                ext[:, k : k + 1] + two_mr - rB[:, k : k + 1], m_r, mu_r
-            )
-            alpha2 = _mulmod(diff, MBinv_mr, m_r, mu_r)  # [Bt, 1], exact
+        for tA, zB in zip(tAs, zBs):
+            alpha2 = _red_mu(
+                tA[:, k : k + 1] + two_mr - zB[:, k : k + 1], m_r, mu_r
+            )  # [Bt, 1], exact
             rA = _red_mu(
-                ext[:, :k] + c["padA"] - alpha2 * c["MB_mod_A"],
+                tA[:, :k] + c["padA"] - alpha2 * c["MB_mod_A"],
                 c["modsA"], c["muA"],
             )
-            outs.append((rA, rB))
+            outs.append((rA, zB))
         return outs
 
     if streams > 1:
@@ -409,12 +472,14 @@ def _modexp2_body_streams(c, refs, streams):
         0, NW, body, tuple((oneA, oneB) for _ in range(streams))
     )
 
+    # leave the Montgomery domain (multiply by plain 1, scaled on the B
+    # side) and unscale the B lanes on the way out: outB = z * w^{-1}
     pA = jnp.ones((1, k), _U32)
-    pB = jnp.ones((1, k + 1), _U32)
+    pB = c["poneB"]
     outs = mm(list(accs), [(pA, pB)] * streams)
     for s, r in enumerate(rows):
         outA_ref[0, r] = outs[s][0]
-        outB_ref[0, r] = outs[s][1]
+        outB_ref[0, r] = _mulmod(outs[s][1], c["winv"], c["modsBx"], c["muBx"])
 
 
 def _modexp2_body(c, refs, shared):
@@ -480,10 +545,13 @@ def _modexp2_body(c, refs, shared):
             0, NW, body, ((oneA, oneB), win_ref[0])
         )
 
-    # leave the Montgomery domain (multiply by plain 1): value <= 2N
+    # leave the Montgomery domain (multiply by plain 1, scaled on the B
+    # side): value <= 2N; unscale the B lanes on the way out
     pA = jnp.ones((1, k), _U32)
-    pB = jnp.ones((1, k + 1), _U32)
-    outA_ref[0], outB_ref[0] = mont_mul(accA, accB, pA, pB)
+    pB = c["poneB"]
+    outA, outB_z = mont_mul(accA, accB, pA, pB)
+    outA_ref[0] = outA
+    outB_ref[0] = _mulmod(outB_z, c["winv"], c["modsBx"], c["muBx"])
 
 
 def _modexp2_kernel_shared(*refs):
@@ -491,9 +559,13 @@ def _modexp2_kernel_shared(*refs):
     _modexp2_body(c, refs[_MM2_NREFS:], shared=True)
 
 
-def _modexp2_kernel_shared_s2(*refs):
-    c = _mm2_cref(refs[:_MM2_NREFS])
-    _modexp2_body_streams(c, refs[_MM2_NREFS:], streams=2)
+@functools.lru_cache(maxsize=None)
+def _shared_stream_kernel(streams):
+    def kernel(*refs):
+        c = _mm2_cref(refs[:_MM2_NREFS])
+        _modexp2_body_streams(c, refs[_MM2_NREFS:], streams=streams)
+
+    return kernel
 
 
 def _modexp2_kernel_var(*refs):
@@ -537,8 +609,9 @@ def pallas_rns_modexp2(base_limbs, windows, consts, *, shared=False,
     in_specs = mm_specs + [
         _mat_spec(L, k), _mat_spec(L, k + 1), data_l, win_spec,
     ]
-    if shared and streams == 2:
-        kernel = _modexp2_kernel_shared_s2
+    if shared and streams > 1:
+        assert Bt % streams == 0
+        kernel = _shared_stream_kernel(streams)
     elif shared:
         kernel = _modexp2_kernel_shared
     else:
@@ -690,12 +763,14 @@ def _fb_modexp2_kernel(*refs):
     @pl.when(i == NP - 1)
     def _():
         pA = jnp.ones((1, k), _U32)
-        pB = jnp.ones((1, k + 1), _U32)
+        pB = c["poneB"]
         outs = mm([(accA_ref[r], accB_ref[r]) for r in rows],
                   [(pA, pB)] * streams)
         for s, r in enumerate(rows):
             outA_ref[0, r] = outs[s][0]
-            outB_ref[0, r] = outs[s][1]
+            outB_ref[0, r] = _mulmod(
+                outs[s][1], c["winv"], c["modsBx"], c["muBx"]
+            )
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "batch_tile"))

@@ -40,18 +40,20 @@ def fb256():
 
 
 def test_fb_table_entries(fb256):
-    """Spot-check table entries: [j, i] = Mont(base^(j * 2^(8 i)))."""
+    """Spot-check table entries: [j, i] = Mont(base^(j * 2^(8 i))), with
+    the B-side lanes carried in the kernel's scaled domain (z = r * w)."""
     rng, N, c, kc, conv, base, NP, planes = fb256
     tAlo, tAhi, tBlo, tBhi = (np.asarray(p[0], np.uint32) for p in planes)
     tabA = tAlo + (tAhi << 7)  # [NP, 256, k]
     tabB = tBlo + (tBhi << 7)  # [NP, 256, k+1]
     table = np.concatenate([tabA, tabB], axis=-1).transpose(1, 0, 2)
     MA = c.MA
+    wvec = [1] * c.k + list(c.MBj_inv_B) + [c.MBinv_mr]
     for i, j in [(0, 0), (0, 1), (0, 255), (3, 17), (NP - 1, 2)]:
         want = pow(base, j * (1 << (8 * i)), N) * MA % N
         got = table[j, i]
-        for m, v in zip(c.mods, got):
-            assert int(v) % int(m) == want % int(m), (i, j)
+        for m, w, v in zip(c.mods, wvec, got):
+            assert int(v) % int(m) == want * int(w) % int(m), (i, j)
 
 
 def test_fb_modexp_matches_pow(fb256):
