@@ -700,11 +700,13 @@ class PrivateEngine(_EngineCommon):
 
     @property
     def rns_crt(self):
-        """Grouped (p^2, q^2) RNS machinery: (kernel consts, conv consts)."""
+        """CRT-folded (p^2, q^2) RNS machinery: (kernel consts, conv
+        consts).  The kernel constants are FOLDED (fold_group_consts2):
+        both residue systems share the lane axis of one kernel step."""
         if self._rns_crt is None:
             import jax as _jax
 
-            from ..ops.pallas_rns2 import stack_group_consts2
+            from ..ops.pallas_rns2 import fold_group_consts2
             from ..ops.rns import GUARD_FACTOR, RNSContext
 
             # M_A >= 2^(15*Lp2+1) > R lets decrypt feed the Montgomery-
@@ -722,7 +724,7 @@ class PrivateEngine(_EngineCommon):
             cq = RNSContext.create(
                 self._q * self._q, in_limbs=self.Lp2, product_bits=bits
             )
-            kc2 = stack_group_consts2([cp, cq])
+            kc2 = fold_group_consts2([cp, cq])
             conv2 = _jax.tree.map(
                 lambda a, b: jnp.stack([jnp.asarray(a), jnp.asarray(b)]),
                 cp.device_consts(), cq.device_consts(),

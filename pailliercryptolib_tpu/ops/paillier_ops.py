@@ -230,6 +230,8 @@ from .pallas_rns2 import (  # noqa: E402
     pallas_fb_modexp2,
     pallas_fb_table2,
     pallas_rns_modexp2,
+    pallas_rns_modexp2f,
+    unfold_rns_out,
 )
 from .rns import rns_to_limbs  # noqa: E402
 
@@ -278,13 +280,24 @@ def decrypt_crt_rns_op(
     folded = mont_raw_backend_grouped(x_hi, sq_r2[:, None, :], sq_n, sq_n0inv, cios)
     bases = jax.vmap(mod_fold_combine, in_axes=(0, 0, 0))(folded, x_lo, sq_n)
 
-    # stage 2: grouped RNS modexp (limbs in, residues out); the exponents
+    # stage 2: RNS modexp (limbs in, residues out); the exponents
     # (p-1, q-1) are shared by every row, so the SMEM shared-window kernel
-    # applies (no per-row window selects)
-    res_rns = pallas_rns_modexp2(
-        bases, exp_wins[:, 0], kc2, shared=True, streams=4,
-        interpret=interpret,
-    )
+    # applies (no per-row window selects).  With FOLDED constants
+    # (fold_group_consts2, the default from engine.rns_crt) both residue
+    # systems ride the lane axis of one kernel step; grouped constants
+    # fall back to the two-group grid.
+    if "SelB" in kc2:
+        k = kc2["sig0"].shape[-1] // 2
+        base_f = jnp.concatenate([bases[0], bases[1]], axis=-1)  # [B, 2L]
+        res_f = pallas_rns_modexp2f(
+            base_f, exp_wins[:, 0], kc2, streams=4, interpret=interpret
+        )
+        res_rns = unfold_rns_out(res_f, k)
+    else:
+        res_rns = pallas_rns_modexp2(
+            bases, exp_wins[:, 0], kc2, shared=True, streams=4,
+            interpret=interpret,
+        )
     res = jax.vmap(_rns_finalize, in_axes=(0, 0, 0, None))(
         res_rns, conv2, sq_n, Lp2
     )  # [2, B, Lp2] canonical < h^2
@@ -305,22 +318,6 @@ def decrypt_crt_rns_op(
     m_out = prod.at[..., :Lp].add(dp)
     m_out = canonicalize(m_out)
     return m_out[..., : 2 * Lp]
-
-
-@_rjit
-def decrypt_raw_rns_op(
-    ct, lam_wins, n2_n, hensel_n, x_limbs, n_n, n_n0inv, n_r2, kc, conv,
-    interpret=False,
-):
-    """RAW decrypt with c^lambda on the RNS kernel (shared exponent)."""
-    Ln = n_n.shape[-1]
-    out_res = pallas_rns_modexp2(
-        ct[None], lam_wins, kc, shared=True, streams=2, interpret=interpret
-    )[0]
-    res = _rns_finalize(out_res, conv, n2_n, n2_n.shape[-1])
-    xm1 = sub_scalar(res, 1)
-    t = mul_low(hensel_n, xm1, Ln)
-    return mod_mul_backend(t, x_limbs, n_n, n_n0inv, n_r2, _cios_backend(interpret))
 
 
 # ---------------------------------------------------------------------------

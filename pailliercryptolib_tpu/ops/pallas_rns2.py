@@ -110,6 +110,14 @@ def _mm8(a, b):
     )
 
 
+def _mmf32(a, b):
+    """f32 matmul (exact for integer operands < 2^24): used for the tiny
+    [Bt, G] @ [G, lanes] group-selector broadcasts in the folded kernel."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=_F32
+    )
+
+
 def _to_u32(xf):
     return xf.astype(_I32).astype(_U32)
 
@@ -161,6 +169,101 @@ def _mm_terms(x, Tlo, Thi, c28, c21, ncols=None):
 # constants
 # ---------------------------------------------------------------------------
 
+def _per_ctx_consts2(c):
+    """v3 fused constants for ONE RNSContext (see stack_group_consts2)."""
+    import numpy as np
+
+    k = c.k
+    A = c.mods[:k].astype(np.uint64)
+    Bx = c.mods[k:].astype(np.uint64)  # B primes + m_r
+    muA = c.barrett[:k]
+    muBx = c.barrett[k:]
+    N = c.N
+    mr = int(c.mods[-1])
+    sig0 = c.sigma_c_A.astype(np.uint64)
+    sig1 = (sig0 << MOD_BITS) % A
+    # scaled-B carry weights over the Bx lanes
+    wvec = np.concatenate(
+        [c.MBj_inv_B, np.array([c.MBinv_mr], np.uint32)]
+    ).astype(np.uint64)
+    winv = np.array(
+        [pow(int(w), -1, int(m)) for w, m in zip(wvec, Bx)], np.uint64
+    )
+    MAinv = c.MAinv_B.astype(np.uint64)  # over Bx
+    c0 = (MAinv * winv) % Bx
+    c1 = (c0 << MOD_BITS) % Bx
+    NMAinvW = (
+        np.array([N % int(m) for m in Bx], np.uint64) * MAinv % Bx
+    ) * wvec % Bx
+    negMA = np.array([(-c.MA) % int(m) for m in Bx], np.uint64)
+    cAlpha = (negMA * NMAinvW) % Bx
+    # T1p = T1 * (N * MAinv * w) mod m_j   [k, k+1], plus one extra
+    # column of Kawamura alpha weights floor(2^27 / a_i): the alpha
+    # fraction sum rides the SAME base-extension matmul (its raw
+    # column is combined in f32 and floored; quantization error
+    # <= k * 2^-13 and f32 error ~2^-12 both sit inside ALPHA_MARGIN)
+    T1p = (c.T1.astype(np.uint64) * NMAinvW[None, :]) % Bx[None, :]
+    aw = ((np.uint64(1) << 27) // A).astype(np.uint64)
+    T1p = np.concatenate([T1p, aw[:, None]], axis=1)  # [k, k+2]
+    # T2 extended with the m_r column scaled by M_B^{-1} mod m_r
+    # (folds the alpha2 = diff * MBinv multiply into the weights)
+    T2r_s = (c.T2r.astype(np.uint64) * np.uint64(c.MBinv_mr)) % np.uint64(mr)
+    T2x = np.concatenate(
+        [c.T2.astype(np.uint64), T2r_s[:, None]], axis=1
+    )
+    # fused Shenoy pad row: 2^14 * a >= alpha2 * (M_B mod a)
+    padA = (A << MOD_BITS).astype(np.uint32)
+    # modsAr: A-moduli columns + m_r column (T2x reduction targets)
+    modsAr = np.concatenate([c.mods[:k], c.mods[-1:]])
+    muAr = np.concatenate([muA, c.barrett[-1:]])
+
+    def planes(T):
+        lo = (T & DIGIT_MASK).astype(np.int8)
+        hi = (T >> DIGIT_BITS).astype(np.int8)
+        return lo, hi
+
+    T1lo, T1hi = planes(T1p.astype(np.uint32))
+    T2lo, T2hi = planes(T2x.astype(np.uint32))
+    # deferred-reduction plane weights per target column
+    c28B = ((np.uint64(1) << 28) % Bx).astype(np.uint32)
+    c21B = ((np.uint64(1) << 21) % Bx).astype(np.uint32)
+    Ar = modsAr.astype(np.uint64)
+    c28A = ((np.uint64(1) << 28) % Ar).astype(np.uint32)
+    c21A = ((np.uint64(1) << 21) % Ar).astype(np.uint32)
+    return dict(
+        modsA=c.mods[:k], muA=muA,
+        modsBx=c.mods[k:], muBx=muBx,
+        modsAr=modsAr, muAr=muAr,
+        sig0=sig0.astype(np.uint32), sig1=sig1.astype(np.uint32),
+        c0=c0.astype(np.uint32), c1=c1.astype(np.uint32),
+        cAlpha=cAlpha.astype(np.uint32),
+        c28B=c28B, c21B=c21B, c28A=c28A, c21A=c21A,
+        MB_mod_A=c.MB_mod_A,
+        padA=padA,
+        winv=winv.astype(np.uint32),
+        wvec=wvec.astype(np.uint32),
+        inv_a_f32=c.inv_a_f32,
+        T1lo=T1lo, T1hi=T1hi,
+        T2lo=T2lo, T2hi=T2hi,
+        # scalars: m_r, mu_r, (unused), 2*m_r (alpha2 pad)
+        scal=np.array(
+            [mr, int(c.barrett[-1]), 0, 2 * mr], np.uint32
+        ),
+        sqA=c.mont_sq[:k],
+        sqB=((c.mont_sq[k:].astype(np.uint64) * wvec) % Bx).astype(
+            np.uint32
+        ),
+        oneA=c.mont_one[:k],
+        oneB=((c.mont_one[k:].astype(np.uint64) * wvec) % Bx).astype(
+            np.uint32
+        ),
+        poneB=wvec.astype(np.uint32),  # plain 1 in the scaled domain
+        CinA=c.Cin[:, :k],
+        CinB=(
+            (c.Cin[:, k:].astype(np.uint64) * wvec[None, :]) % Bx[None, :]
+        ).astype(np.uint32),
+    )
+
 def stack_group_consts2(ctxs) -> dict:
     """Build the v3 fused constants from RNSContexts (all same k).
 
@@ -172,103 +275,119 @@ def stack_group_consts2(ctxs) -> dict:
 
     k = ctxs[0].k
     assert all(c.k == k for c in ctxs)
-
-    def per_ctx(c):
-        A = c.mods[:k].astype(np.uint64)
-        Bx = c.mods[k:].astype(np.uint64)  # B primes + m_r
-        muA = c.barrett[:k]
-        muBx = c.barrett[k:]
-        N = c.N
-        mr = int(c.mods[-1])
-        sig0 = c.sigma_c_A.astype(np.uint64)
-        sig1 = (sig0 << MOD_BITS) % A
-        # scaled-B carry weights over the Bx lanes
-        wvec = np.concatenate(
-            [c.MBj_inv_B, np.array([c.MBinv_mr], np.uint32)]
-        ).astype(np.uint64)
-        winv = np.array(
-            [pow(int(w), -1, int(m)) for w, m in zip(wvec, Bx)], np.uint64
-        )
-        MAinv = c.MAinv_B.astype(np.uint64)  # over Bx
-        c0 = (MAinv * winv) % Bx
-        c1 = (c0 << MOD_BITS) % Bx
-        NMAinvW = (
-            np.array([N % int(m) for m in Bx], np.uint64) * MAinv % Bx
-        ) * wvec % Bx
-        negMA = np.array([(-c.MA) % int(m) for m in Bx], np.uint64)
-        cAlpha = (negMA * NMAinvW) % Bx
-        # T1p = T1 * (N * MAinv * w) mod m_j   [k, k+1], plus one extra
-        # column of Kawamura alpha weights floor(2^27 / a_i): the alpha
-        # fraction sum rides the SAME base-extension matmul (its raw
-        # column is combined in f32 and floored; quantization error
-        # <= k * 2^-13 and f32 error ~2^-12 both sit inside ALPHA_MARGIN)
-        T1p = (c.T1.astype(np.uint64) * NMAinvW[None, :]) % Bx[None, :]
-        aw = ((np.uint64(1) << 27) // A).astype(np.uint64)
-        T1p = np.concatenate([T1p, aw[:, None]], axis=1)  # [k, k+2]
-        # T2 extended with the m_r column scaled by M_B^{-1} mod m_r
-        # (folds the alpha2 = diff * MBinv multiply into the weights)
-        T2r_s = (c.T2r.astype(np.uint64) * np.uint64(c.MBinv_mr)) % np.uint64(mr)
-        T2x = np.concatenate(
-            [c.T2.astype(np.uint64), T2r_s[:, None]], axis=1
-        )
-        # fused Shenoy pad row: 2^14 * a >= alpha2 * (M_B mod a)
-        padA = (A << MOD_BITS).astype(np.uint32)
-        # modsAr: A-moduli columns + m_r column (T2x reduction targets)
-        modsAr = np.concatenate([c.mods[:k], c.mods[-1:]])
-        muAr = np.concatenate([muA, c.barrett[-1:]])
-
-        def planes(T):
-            lo = (T & DIGIT_MASK).astype(np.int8)
-            hi = (T >> DIGIT_BITS).astype(np.int8)
-            return lo, hi
-
-        T1lo, T1hi = planes(T1p.astype(np.uint32))
-        T2lo, T2hi = planes(T2x.astype(np.uint32))
-        # deferred-reduction plane weights per target column
-        c28B = ((np.uint64(1) << 28) % Bx).astype(np.uint32)
-        c21B = ((np.uint64(1) << 21) % Bx).astype(np.uint32)
-        Ar = modsAr.astype(np.uint64)
-        c28A = ((np.uint64(1) << 28) % Ar).astype(np.uint32)
-        c21A = ((np.uint64(1) << 21) % Ar).astype(np.uint32)
-        return dict(
-            modsA=c.mods[:k], muA=muA,
-            modsBx=c.mods[k:], muBx=muBx,
-            modsAr=modsAr, muAr=muAr,
-            sig0=sig0.astype(np.uint32), sig1=sig1.astype(np.uint32),
-            c0=c0.astype(np.uint32), c1=c1.astype(np.uint32),
-            cAlpha=cAlpha.astype(np.uint32),
-            c28B=c28B, c21B=c21B, c28A=c28A, c21A=c21A,
-            MB_mod_A=c.MB_mod_A,
-            padA=padA,
-            winv=winv.astype(np.uint32),
-            wvec=wvec.astype(np.uint32),
-            inv_a_f32=c.inv_a_f32,
-            T1lo=T1lo, T1hi=T1hi,
-            T2lo=T2lo, T2hi=T2hi,
-            # scalars: m_r, mu_r, (unused), 2*m_r (alpha2 pad)
-            scal=np.array(
-                [mr, int(c.barrett[-1]), 0, 2 * mr], np.uint32
-            ),
-            sqA=c.mont_sq[:k],
-            sqB=((c.mont_sq[k:].astype(np.uint64) * wvec) % Bx).astype(
-                np.uint32
-            ),
-            oneA=c.mont_one[:k],
-            oneB=((c.mont_one[k:].astype(np.uint64) * wvec) % Bx).astype(
-                np.uint32
-            ),
-            poneB=wvec.astype(np.uint32),  # plain 1 in the scaled domain
-            CinA=c.Cin[:, :k],
-            CinB=(
-                (c.Cin[:, k:].astype(np.uint64) * wvec[None, :]) % Bx[None, :]
-            ).astype(np.uint32),
-        )
-
-    ds = [per_ctx(c) for c in ctxs]
+    ds = [_per_ctx_consts2(c) for c in ctxs]
     out = {}
     for key in ds[0]:
         out[key] = jnp.asarray(np.stack([d[key] for d in ds]))
     return out
+
+
+def fold_group_consts2(ctxs) -> dict:
+    """Fold TWO same-k RNSContexts (CRT's p^2 / q^2) into ONE set of
+    kernel constants whose LANE axis carries both groups side by side.
+
+    Folding turns the G=2 grid axis of the grouped kernel into lane
+    concatenation: a [Bt, 2k] / [Bt, 2k+2] elementwise op covers both
+    residue systems at once, so the ~40% lane padding the half-width
+    groups pay individually (k ~ 150 lanes pads to 256) collapses to
+    ~20% (2k ~ 300 pads to 384), and every [Bt, 1] alpha-column op is
+    shared.  Layout:
+
+      A side   [A_p(k) | A_q(k)]                           (2k lanes)
+      B side   [B_p(k) | B_q(k) | mr_p | mr_q]             (2k+2 lanes)
+      T1f      [2k, 2k+4]  block-diagonal, output columns
+               [B_p | B_q | mr_p | mr_q | alpha_p | alpha_q]
+      T2f      [2k, 2k+2]  block-diagonal, output columns
+               [A_p | A_q | mr_p | mr_q]
+      Cin      [2L, 2k(+2)] block-diagonal (input: p-limbs | q-limbs)
+
+    Group-scoped scalars (Kawamura alpha, Shenoy alpha2) become [Bt, 2]
+    columns broadcast to their group's lanes via exact f32 selector
+    matmuls (SelA/SelB); the two shared exponents select table rows via
+    two scalar reads + a per-lane mask (maskA/maskB).
+    """
+    import numpy as np
+
+    assert len(ctxs) == 2 and ctxs[0].k == ctxs[1].k
+    k = ctxs[0].k
+    d0, d1 = _per_ctx_consts2(ctxs[0]), _per_ctx_consts2(ctxs[1])
+    k2 = 2 * k
+
+    def cat_a(key):  # A-side row constants [k] -> [2k]
+        return np.concatenate([d0[key], d1[key]])
+
+    def cat_b(key):  # Bx-side [k+1] -> [B_p | B_q | mr_p | mr_q]
+        return np.concatenate(
+            [d0[key][:k], d1[key][:k], d0[key][k:], d1[key][k:]]
+        )
+
+    out = {}
+    for key in ("modsA", "muA", "sig0", "sig1", "sqA", "oneA", "padA",
+                "MB_mod_A"):
+        out[key] = cat_a(key)
+    for key in ("modsBx", "muBx", "c0", "c1", "cAlpha", "c28B", "c21B",
+                "winv", "sqB", "oneB", "poneB"):
+        out[key] = cat_b(key)
+    # T2 reduction targets ([A | m_r] per group) fold the same way
+    out["modsAr"] = cat_b("modsAr")
+    out["muAr"] = cat_b("muAr")
+    out["c28Ar"] = cat_b("c28A")
+    out["c21Ar"] = cat_b("c21A")
+    # redundant-modulus scalars become [2] rows (one lane per group)
+    out["mrv"] = np.array([d0["scal"][0], d1["scal"][0]], np.uint32)
+    out["murv"] = np.array([d0["scal"][1], d1["scal"][1]], np.uint32)
+    out["twomrv"] = np.array([d0["scal"][3], d1["scal"][3]], np.uint32)
+
+    def fold_T1(key):  # [k, k+2] per group -> [2k, 2k+4]
+        T = np.zeros((k2, k2 + 4), np.int8)
+        for g, d in enumerate((d0, d1)):
+            rows = slice(g * k, (g + 1) * k)
+            T[rows, g * k : (g + 1) * k] = d[key][:, :k]
+            T[rows, k2 + g] = d[key][:, k]  # m_r column
+            T[rows, k2 + 2 + g] = d[key][:, k + 1]  # alpha column
+        return T
+
+    def fold_T2(key):  # [k, k+1] per group -> [2k, 2k+2]
+        T = np.zeros((k2, k2 + 2), np.int8)
+        for g, d in enumerate((d0, d1)):
+            rows = slice(g * k, (g + 1) * k)
+            T[rows, g * k : (g + 1) * k] = d[key][:, :k]
+            T[rows, k2 + g] = d[key][:, k]
+        return T
+
+    out["T1lo"], out["T1hi"] = fold_T1("T1lo"), fold_T1("T1hi")
+    out["T2lo"], out["T2hi"] = fold_T2("T2lo"), fold_T2("T2hi")
+    # group-selector matmul weights (0/1; exact in f32 for values < 2^24)
+    SelA = np.zeros((2, k2), np.float32)
+    SelA[0, :k] = 1.0
+    SelA[1, k:] = 1.0
+    SelB = np.zeros((2, k2 + 2), np.float32)
+    SelB[0, :k] = 1.0
+    SelB[1, k:k2] = 1.0
+    SelB[0, k2] = 1.0
+    SelB[1, k2 + 1] = 1.0
+    out["SelA"], out["SelB"] = SelA, SelB
+    # per-lane group masks for the two-exponent table select
+    maskA = np.zeros((k2,), np.uint32)
+    maskA[:k] = 1
+    maskB = np.zeros((k2 + 2,), np.uint32)
+    maskB[:k] = 1
+    maskB[k2] = 1
+    out["maskA"], out["maskB"] = maskA, maskB
+
+    # block-diagonal input conversions: rows = [p-limbs | q-limbs]
+    L = d0["CinA"].shape[0]
+    CinA = np.zeros((2 * L, k2), np.uint32)
+    CinA[:L, :k] = d0["CinA"]
+    CinA[L:, k:] = d1["CinA"]
+    CinB = np.zeros((2 * L, k2 + 2), np.uint32)
+    CinB[:L, :k] = d0["CinB"][:, :k]
+    CinB[:L, k2] = d0["CinB"][:, k]
+    CinB[L:, k:k2] = d1["CinB"][:, :k]
+    CinB[L:, k2 + 1] = d1["CinB"][:, k]
+    out["CinA"], out["CinB"] = CinA, CinB
+
+    return {key: jnp.asarray(a[None]) for key, a in out.items()}
 
 
 _MM2_KEYS = (
@@ -292,11 +411,11 @@ def _mat_spec(r, ccount):
     )
 
 
-def _mm2_args_specs(consts):
-    """(args, in_specs) for the _MM2_NREFS constant refs; every index map
+def _consts_args_specs(consts, keys):
+    """(args, in_specs) for the given constant keys; every index map
     selects only the group axis so any grid arity works."""
     args, specs = [], []
-    for key in _MM2_KEYS:
+    for key in keys:
         a = consts[key]
         if a.ndim == 2:  # row constant [G, w]
             args.append(a[:, None, :])
@@ -307,9 +426,27 @@ def _mm2_args_specs(consts):
     return args, specs
 
 
-def _mm2_cref(refs):
+def _mm2_args_specs(consts):
+    return _consts_args_specs(consts, _MM2_KEYS)
+
+
+def _cref(refs, keys):
     """Unpack the constant refs (dropping each ref's leading group axis)."""
-    return {key: ref[0] for key, ref in zip(_MM2_KEYS, refs)}
+    return {key: ref[0] for key, ref in zip(keys, refs)}
+
+
+def _mm2_cref(refs):
+    return _cref(refs, _MM2_KEYS)
+
+
+#: Constant refs of the CRT-folded kernel (fold_group_consts2 layout).
+_MM2F_KEYS = (
+    "mrv", "murv", "twomrv", "modsA", "muA", "modsBx", "muBx", "sig0",
+    "sig1", "c0", "c1", "cAlpha", "c28B", "c21B", "c28Ar", "c21Ar",
+    "MB_mod_A", "padA", "winv", "maskA", "maskB", "SelA", "SelB",
+    "T1lo", "T1hi", "T2lo", "T2hi", "sqA", "sqB", "oneA", "oneB", "poneB",
+)
+_MM2F_NREFS = len(_MM2F_KEYS)
 
 
 def _make_mont_mul2(c, streams=1):
@@ -322,14 +459,26 @@ def _make_mont_mul2(c, streams=1):
     r_A) — the base extensions enter the consumers unreduced via
     _mm_terms, and the Shenoy weights fall out of the scaled carry.
 
+    When ``c`` is a FOLDED constant set (fold_group_consts2: two residue
+    systems side by side on the lane axis), the same body runs with the
+    doubled lane widths; the per-group alpha/alpha2 columns ([Bt, 2])
+    broadcast to their group's lanes via exact f32 selector matmuls.
+
     ``streams > 1`` returns a multi-stream form: it takes LISTS of operand
     pairs and advances them stage-interleaved, so the Mosaic scheduler can
     overlap one stream's MXU base-extension with another's VPU reductions
     (within a single multiply the dependence chain forbids any overlap)."""
-    k = c["sig0"].shape[-1]
-    scal = c["scal"]  # [1, 4]: m_r, mu_r, (unused), 2*m_r
-    m_r, mu_r = scal[:, 0:1], scal[:, 1:2]
-    two_mr = scal[:, 3:4]
+    k = c["sig0"].shape[-1]  # total A lanes (2k when folded)
+    folded = "SelB" in c
+    if folded:
+        m_r, mu_r = c["mrv"], c["murv"]  # [1, 2]
+        two_mr = c["twomrv"]
+        c28A, c21A = c["c28Ar"], c["c21Ar"]
+    else:
+        scal = c["scal"]  # [1, 4]: m_r, mu_r, (unused), 2*m_r
+        m_r, mu_r = scal[:, 0:1], scal[:, 1:2]
+        two_mr = scal[:, 3:4]
+        c28A, c21A = c["c28A"], c["c21A"]
 
     def mont_mul_multi(xs, ys):
         us = [(xA * yA, xB * yB) for (xA, xB), (yA, yB) in zip(xs, ys)]
@@ -344,7 +493,7 @@ def _make_mont_mul2(c, streams=1):
             for hA, lA, _, _ in spl
         ]
         # base extension A -> B+mr with N*MAinv*w folded into the
-        # weights; the last T1 column carries the Kawamura alpha sum
+        # weights; the last T1 column(s) carry the Kawamura alpha sum(s)
         kp1 = c["c28B"].shape[-1]
         tB_raws = [
             _mm_terms(s, c["T1lo"], c["T1hi"], c["c28B"], c["c21B"],
@@ -360,9 +509,13 @@ def _make_mont_mul2(c, streams=1):
                 + mid[:, kp1:].astype(_F32) * float(1 << DIGIT_BITS)
                 + hh[:, kp1:].astype(_F32) * float(1 << (2 * DIGIT_BITS))
             ) * (1.0 / (1 << 27))
-            alphas.append(
-                _to_u32(jnp.maximum(jnp.floor(af - ALPHA_MARGIN), 0.0))
-            )
+            a_f = jnp.maximum(jnp.floor(af - ALPHA_MARGIN), 0.0)
+            if folded:
+                # [Bt, 2] -> per-lane alpha via the group selector
+                # (alpha < k < 2^24: exact in f32)
+                alphas.append(_to_u32(_mmf32(a_f, c["SelB"])))
+            else:
+                alphas.append(_to_u32(a_f))
         # z_B = (s + q_hat N) MAinv w mod b, all terms fused: < 2^29.7
         zBs = [
             _red_mu(
@@ -373,16 +526,21 @@ def _make_mont_mul2(c, streams=1):
         ]
         # exact Shenoy extension back to base A: z_B IS the weight vector
         tAs = [
-            _mm_terms(zB[:, :k], c["T2lo"], c["T2hi"], c["c28A"], c["c21A"])
+            _mm_terms(zB[:, :k], c["T2lo"], c["T2hi"], c28A, c21A)
             for zB in zBs
-        ]  # [Bt, k+1] unreduced terms; last column = m_r (MBinv-scaled)
+        ]  # unreduced terms; trailing column(s) = m_r (MBinv-scaled)
         outs = []
         for tA, zB in zip(tAs, zBs):
             alpha2 = _red_mu(
-                tA[:, k : k + 1] + two_mr - zB[:, k : k + 1], m_r, mu_r
-            )  # [Bt, 1], exact
+                tA[:, k:] + two_mr - zB[:, k:], m_r, mu_r
+            )  # [Bt, G], exact
+            if folded:
+                a2 = _to_u32(_mmf32(alpha2.astype(_I32).astype(_F32),
+                                    c["SelA"]))
+            else:
+                a2 = alpha2
             rA = _red_mu(
-                tA[:, :k] + c["padA"] - alpha2 * c["MB_mod_A"],
+                tA[:, :k] + c["padA"] - a2 * c["MB_mod_A"],
                 c["modsA"], c["muA"],
             )
             outs.append((rA, zB))
@@ -427,13 +585,20 @@ def _limbs_to_res2(xl, CinA, CinB, c):
 
 def _modexp2_body_streams(c, refs, streams):
     """Shared-exponent body with ``streams`` row-slices advanced
-    stage-interleaved (MXU/VPU overlap across streams)."""
+    stage-interleaved (MXU/VPU overlap across streams).
+
+    Works on grouped constants (one residue system, ONE SMEM exponent)
+    and on CRT-FOLDED constants (fold_group_consts2: both residue
+    systems on the lane axis, TWO SMEM exponents whose table rows are
+    merged through the per-lane group masks)."""
     (CinA_ref, CinB_ref, base_ref, win_ref, outA_ref, outB_ref,
      tabA_ref, tabB_ref) = refs
     k = c["sig0"].shape[-1]
+    kb = c["oneB"].shape[-1]  # k+1 grouped, k+2 folded
+    folded = "SelB" in c
     Bt = base_ref.shape[-2]
     h = Bt // streams
-    mm = _make_mont_mul2(c, streams=streams)
+    mm = _make_mont_mul2(c, streams=max(streams, 2))  # always list form
     rows = [slice(s * h, (s + 1) * h) for s in range(streams)]
 
     xA, xB = _limbs_to_res2(base_ref[0], CinA_ref[0], CinB_ref[0], c)
@@ -441,7 +606,7 @@ def _modexp2_body_streams(c, refs, streams):
     sq = [(c["sqA"], c["sqB"])] * streams
     a_s = mm(xs, sq)  # Montgomery form, per stream
     oneA = jnp.broadcast_to(c["oneA"], (h, k)).astype(_U32)
-    oneB = jnp.broadcast_to(c["oneB"], (h, k + 1)).astype(_U32)
+    oneB = jnp.broadcast_to(c["oneB"], (h, kb)).astype(_U32)
 
     for s, r in enumerate(rows):
         tabA_ref[0, r], tabB_ref[0, r] = oneA, oneB
@@ -462,9 +627,26 @@ def _modexp2_body_streams(c, refs, streams):
         accs = list(carry)
         for _ in range(WINDOW_BITS):
             accs = mm(accs, accs)
-        w = win_ref[0, 0, i]
-        selA = tabA_ref[pl.ds(w, 1)][0]
-        selB = tabB_ref[pl.ds(w, 1)][0]
+        if folded:
+            # one scalar-indexed table row per group, merged by the
+            # per-lane group masks (two reads + two selects: noise next
+            # to the ~40-VPU-op mont_mul they feed)
+            w0 = win_ref[0, 0, i]
+            w1 = win_ref[0, 1, i]
+            selA = jnp.where(
+                c["maskA"] != 0,
+                tabA_ref[pl.ds(w0, 1)][0],
+                tabA_ref[pl.ds(w1, 1)][0],
+            )
+            selB = jnp.where(
+                c["maskB"] != 0,
+                tabB_ref[pl.ds(w0, 1)][0],
+                tabB_ref[pl.ds(w1, 1)][0],
+            )
+        else:
+            w = win_ref[0, 0, i]
+            selA = tabA_ref[pl.ds(w, 1)][0]
+            selB = tabB_ref[pl.ds(w, 1)][0]
         sels = [(selA[r], selB[r]) for r in rows]
         return tuple(mm(accs, sels))
 
@@ -638,6 +820,89 @@ def pallas_rns_modexp2(base_limbs, windows, consts, *, shared=False,
         interpret=interpret,
     )(*args)
     return jnp.concatenate([outA, outB], axis=-1)
+
+
+@functools.lru_cache(maxsize=None)
+def _folded_stream_kernel(streams):
+    def kernel(*refs):
+        c = _cref(refs[:_MM2F_NREFS], _MM2F_KEYS)
+        _modexp2_body_streams(c, refs[_MM2F_NREFS:], streams=streams)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "batch_tile", "streams")
+)
+def pallas_rns_modexp2f(base_limbs, windows, consts, *, interpret=False,
+                        batch_tile=BATCH_TILE, streams=4):
+    """base^e over a CRT-FOLDED lane layout (fold_group_consts2).
+
+    This is the decrypt hot path: instead of running the p^2 and q^2
+    residue systems as two sequential grid groups (pallas_rns_modexp2
+    with G=2), both live side by side on the LANE axis of one kernel
+    step, so the VPU lane padding halves and every squaring serves both
+    CRT halves at once (the TPU form of the reference's 2-way CRT
+    decomposition, ipcl/pri_key.cpp:114-146).
+
+    base_limbs [B, 2L]: each row is the p-group limbs followed by the
+    q-group limbs.  windows [2, NW]: the groups' shared exponents
+    (MS window first, SMEM-resident).  Returns one [B, 4k+2] residue
+    array in folded lane order [A_p | A_q | B_p | B_q | mr_p | mr_q].
+    """
+    B, L2 = base_limbs.shape
+    ka = consts["sig0"].shape[-1]  # 2k
+    kb = consts["modsBx"].shape[-1]  # 2k+2
+    Bt = batch_tile
+    assert B % Bt == 0 and Bt % streams == 0
+    wins = windows.astype(jnp.int32)[None]  # [1, 2, NW]
+    NW = wins.shape[-1]
+
+    mmf_args, mmf_specs = _consts_args_specs(consts, _MM2F_KEYS)
+    data_l = pl.BlockSpec(
+        (1, Bt, L2), lambda g, b: (g, b, 0), memory_space=pltpu.VMEM
+    )
+    win_spec = pl.BlockSpec(
+        (1, 2, NW), lambda g, b: (g, 0, 0), memory_space=pltpu.SMEM
+    )
+    args = mmf_args + [consts["CinA"], consts["CinB"], base_limbs[None], wins]
+    in_specs = mmf_specs + [
+        _mat_spec(L2, ka), _mat_spec(L2, kb), data_l, win_spec,
+    ]
+    outA, outB = pl.pallas_call(
+        _folded_stream_kernel(streams),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, B, ka), _U32),
+            jax.ShapeDtypeStruct((1, B, kb), _U32),
+        ),
+        grid=(1, B // Bt),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, Bt, ka), lambda g, b: (g, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bt, kb), lambda g, b: (g, b, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_TABLE, Bt, ka), _U32),
+            pltpu.VMEM((_TABLE, Bt, kb), _U32),
+        ],
+        interpret=interpret,
+    )(*args)
+    return jnp.concatenate([outA[0], outB[0]], axis=-1)
+
+
+def unfold_rns_out(res, k):
+    """Folded [B, 4k+2] kernel output -> grouped [2, B, 2k+1] residues
+    ([A | B | m_r] lane order per group, as pallas_rns_modexp2 returns)."""
+    outA, outB = res[:, : 2 * k], res[:, 2 * k :]
+    res_p = jnp.concatenate(
+        [outA[:, :k], outB[:, :k], outB[:, 2 * k : 2 * k + 1]], axis=-1
+    )
+    res_q = jnp.concatenate(
+        [outA[:, k:], outB[:, k : 2 * k], outB[:, 2 * k + 1 :]], axis=-1
+    )
+    return jnp.stack([res_p, res_q])
 
 
 # ---------------------------------------------------------------------------

@@ -10,8 +10,11 @@ from pailliercryptolib_tpu.ops import limbs as lb
 from pailliercryptolib_tpu.ops import rns
 from pailliercryptolib_tpu.ops.pallas_rns2 import (
     BATCH_TILE,
+    fold_group_consts2,
     pallas_rns_modexp2,
+    pallas_rns_modexp2f,
     stack_group_consts2,
+    unfold_rns_out,
 )
 
 
@@ -63,3 +66,35 @@ def test_modexp2_shared_windows_grouped(ctx256):
         )
         for b, v in zip(bases[g], vals):
             assert v % m == pow(b, exps[g], m)
+
+
+@pytest.mark.parametrize("streams", [1, 4])
+def test_modexp2_folded_crt(streams):
+    """CRT-folded kernel: both residue systems side by side on the lane
+    axis of ONE kernel step, two SMEM shared exponents."""
+    rng = random.Random(211)
+    n1 = rng.getrandbits(200) | (1 << 199) | 1
+    n2 = rng.getrandbits(200) | (1 << 199) | 1
+    c1 = rns.RNSContext.create(n1, product_bits=204)
+    c2 = rns.RNSContext.create(n2, product_bits=204)
+    consts = fold_group_consts2([c1, c2])
+    B, ebits = BATCH_TILE, 24
+    bases = [[rng.randrange(m) for _ in range(B - 2)] + [0, 1] for m in (n1, n2)]
+    exps = [rng.getrandbits(ebits) | 1 for _ in range(2)]
+    x = np.concatenate(
+        [lb.ints_to_limbs(b, c1.Lin) for b in bases], axis=-1
+    )  # [B, 2L]: p-limbs | q-limbs per row
+    wins = jnp.asarray(
+        np.concatenate([lb.ints_to_windows([e], ebits) for e in exps])
+    )  # [2, NW]
+    out = pallas_rns_modexp2f(
+        jnp.asarray(x), wins, consts, streams=streams, interpret=True
+    )
+    res = unfold_rns_out(out, c1.k)
+    for g, (m, c) in enumerate(((n1, c1), (n2, c2))):
+        vals = lb.limbs_to_ints(
+            np.asarray(rns.rns_to_limbs(res[g], c.device_consts()))
+        )
+        for b, v in zip(bases[g], vals):
+            assert v % m == pow(b, exps[g], m)
+            assert v <= 2 * m
