@@ -39,10 +39,9 @@ VPU op count.  Techniques, in decreasing order of measured impact:
 
 Numerical contracts (checked in tests/test_rns_backend.py against pow()):
 moduli in (2^13, 2^14); residues canonical (< m) between multiplies;
-fused reduction inputs < 2^29.7 with an f32-reciprocal quotient whose
-error is in {0, 1} (see _red_mu: the 2^-20 downward bias of the
-reciprocal dominates every rounding term), so ONE conditional subtract
-canonicalizes; represented values < 3N.
+fused Barrett inputs < 2^29.7 with quotient error < 8 (three
+conditional-subtract layers: 4m, 2m, m handle < 8m); represented values
+< 3N.
 
 Reference anchor: this is the TPU replacement for the reference's entire
 modexp acceleration stack (ipcl/mod_exp.cpp:446-533 mbx_exp_mb8 and the QAT
@@ -74,30 +73,21 @@ FB_TABLE = 1 << FB_WINDOW_BITS
 
 
 def _red_mu(v, m, mu, layers=3):
-    """f32-reciprocal reduction: v < 2^29.7 -> v mod m (m in (2^13,2^14)).
+    """Fused Barrett: v < 2^29.7 -> v mod m (m in (2^13,2^14), mu=2^28/m).
 
-    ``mu`` is the per-lane f32 constant (1 - 2^-20)/m.  The truncated
-    quotient q = i32(f32(v) * mu) satisfies q in {q_true-1, q_true}:
-    the downward bias 2^-20 dominates the three rounding errors (v's
-    i32->f32 cast at <= 2^-24 rel for v < 2^30, mu's f32 rounding, the
-    product's), so q <= v/m always, and the total error stays < 1.07,
-    so q >= q_true - 1.  Hence r = v - q*m < 2m and ONE conditional
-    subtract canonicalizes — vs the 3 layers the pure-integer estimate
-    (error < 8) needed; ~4 VPU ops saved per chain, 3 chains per
-    mont_mul.  ``layers=2`` skips the subtract (redundant r < 2m).
-    (Casts go u32 -> i32 -> f32: Mosaic has no uint<->float path.)"""
-    q = _to_u32(v.astype(_I32).astype(_F32) * mu)
+    Quotient error < 8 at this bound, so r < 8m after the estimate; the
+    4m/2m/m conditional-subtract chain canonicalizes.  ``layers=2`` stops
+    at r < 2m for consumers that tolerate a redundant residue (sigma).
+    (Mosaic cannot lower unsigned min, so these stay where-selects.)"""
+    q = ((v >> MOD_BITS) * mu) >> MOD_BITS
     r = v - q * m
+    m4 = m << 2
+    m2 = m << 1
+    r = jnp.where(r >= m4, r - m4, r)
+    r = jnp.where(r >= m2, r - m2, r)
     if layers >= 3:
         r = jnp.where(r >= m, r - m, r)
     return r
-
-
-def _inv_f32(mods):
-    """The f32 reciprocal rows for _red_mu: (1 - 2^-20)/m, biased low."""
-    import numpy as np
-
-    return ((1.0 - 2.0**-20) / mods.astype(np.float64)).astype(np.float32)
 
 
 def _mulmod(x, y, m, mu):
@@ -122,9 +112,15 @@ def _mm8(a, b):
 
 def _mmf32(a, b):
     """f32 matmul (exact for integer operands < 2^24): used for the tiny
-    [Bt, G] @ [G, lanes] group-selector broadcasts in the folded kernel."""
+    [Bt, G] @ [G, lanes] group-selector broadcasts in the folded kernel.
+
+    Correctness REQUIRES full f32 precision: the alpha2 values being
+    broadcast reach 2^14, beyond bf16's 8-bit mantissa, so a bf16-pass
+    lowering would silently corrupt results.  Precision.HIGHEST pins it."""
     return jax.lax.dot_general(
-        a, b, (((1,), (0,)), ((), ())), preferred_element_type=_F32
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=_F32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -186,8 +182,8 @@ def _per_ctx_consts2(c):
     k = c.k
     A = c.mods[:k].astype(np.uint64)
     Bx = c.mods[k:].astype(np.uint64)  # B primes + m_r
-    muA = _inv_f32(c.mods[:k])
-    muBx = _inv_f32(c.mods[k:])
+    muA = c.barrett[:k]
+    muBx = c.barrett[k:]
     N = c.N
     mr = int(c.mods[-1])
     sig0 = c.sigma_c_A.astype(np.uint64)
@@ -225,7 +221,7 @@ def _per_ctx_consts2(c):
     padA = (A << MOD_BITS).astype(np.uint32)
     # modsAr: A-moduli columns + m_r column (T2x reduction targets)
     modsAr = np.concatenate([c.mods[:k], c.mods[-1:]])
-    muAr = _inv_f32(modsAr)
+    muAr = np.concatenate([muA, c.barrett[-1:]])
 
     def planes(T):
         lo = (T & DIGIT_MASK).astype(np.int8)
@@ -255,11 +251,9 @@ def _per_ctx_consts2(c):
         inv_a_f32=c.inv_a_f32,
         T1lo=T1lo, T1hi=T1hi,
         T2lo=T2lo, T2hi=T2hi,
-        # scalars: m_r, (unused), (unused), 2*m_r (alpha2 pad)
-        scal=np.array([mr, 0, 0, 2 * mr], np.uint32),
-        # f32 reciprocal of m_r (lane 0; padded to width 4)
-        scalf=np.concatenate(
-            [_inv_f32(c.mods[-1:]), np.zeros((3,), np.float32)]
+        # scalars: m_r, mu_r, (unused), 2*m_r (alpha2 pad)
+        scal=np.array(
+            [mr, int(c.barrett[-1]), 0, 2 * mr], np.uint32
         ),
         sqA=c.mont_sq[:k],
         sqB=((c.mont_sq[k:].astype(np.uint64) * wvec) % Bx).astype(
@@ -347,7 +341,7 @@ def fold_group_consts2(ctxs) -> dict:
     out["c21Ar"] = cat_b("c21A")
     # redundant-modulus scalars become [2] rows (one lane per group)
     out["mrv"] = np.array([d0["scal"][0], d1["scal"][0]], np.uint32)
-    out["murv"] = np.array([d0["scalf"][0], d1["scalf"][0]], np.float32)
+    out["murv"] = np.array([d0["scal"][1], d1["scal"][1]], np.uint32)
     out["twomrv"] = np.array([d0["scal"][3], d1["scal"][3]], np.uint32)
 
     def fold_T1(key):  # [k, k+2] per group -> [2k, 2k+4]
@@ -403,7 +397,7 @@ def fold_group_consts2(ctxs) -> dict:
 
 
 _MM2_KEYS = (
-    "scal", "scalf", "modsA", "muA", "modsBx", "muBx", "modsAr", "muAr", "sig0",
+    "scal", "modsA", "muA", "modsBx", "muBx", "modsAr", "muAr", "sig0",
     "sig1", "c0", "c1", "cAlpha", "c28B", "c21B", "c28A", "c21A",
     "MB_mod_A", "padA", "winv", "T1lo", "T1hi", "T2lo",
     "T2hi", "sqA", "sqB", "oneA", "oneB", "poneB",
@@ -467,8 +461,9 @@ def _make_mont_mul2(c, streams=1):
     xA [Bt, k] canonical A-side residues; zB [Bt, k+1] canonical SCALED
     B-side residues (z_j = r_j * w_j, m_r on the last lane).  Returns
     (rA, zB) for x*y*M_A^{-1} mod N (a representative < 3N).  Exactly
-    three full-width Barrett chains per multiply (sigma at 2 layers, z_B,
-    r_A) — the base extensions enter the consumers unreduced via
+    three full-width Barrett chains per multiply (sigma, z_B, r_A), each
+    canonicalizing (sigma feeds int8 digit planes, so it needs 7-bit
+    digits) — the base extensions enter the consumers unreduced via
     _mm_terms, and the Shenoy weights fall out of the scaled carry.
 
     When ``c`` is a FOLDED constant set (fold_group_consts2: two residue
@@ -487,8 +482,8 @@ def _make_mont_mul2(c, streams=1):
         two_mr = c["twomrv"]
         c28A, c21A = c["c28Ar"], c["c21Ar"]
     else:
-        scal = c["scal"]  # [1, 4]: m_r, (unused), (unused), 2*m_r
-        m_r, mu_r = scal[:, 0:1], c["scalf"][:, 0:1]
+        scal = c["scal"]  # [1, 4]: m_r, mu_r, (unused), 2*m_r
+        m_r, mu_r = scal[:, 0:1], scal[:, 1:2]
         two_mr = scal[:, 3:4]
         c28A, c21A = c["c28A"], c["c21A"]
 
