@@ -45,7 +45,7 @@ def log(m): print(m, file=sys.stderr, flush=True)
 BATCH = 2048
 key = ptpu.generate_keypair(2048, enable_DJN=True)
 e = key.priv_key._engine
-kc2, conv2 = e.rns_crt
+kc2, conv2 = e.rns_crt_grouped  # grouped layout (these scripts drive pallas_rns_modexp2)
 two = e.sq_n.shape[0]
 bases = jnp.asarray(
     np.random.default_rng(0).integers(0, 1 << 14, (two, BATCH, e.Lp2),

@@ -31,7 +31,7 @@ def timed(name, fn, iters=8):
     return out
 
 ct_a, size = e._ct_operand(ct_dev, 2 * e.Lp2)
-kc2, conv2 = e.rns_crt
+kc2, conv2 = e.rns_crt_grouped  # grouped layout (these scripts drive pallas_rns_modexp2)
 from pailliercryptolib_tpu.ops.paillier_ops import (
     _rns_finalize, _cios_backend,
 )

@@ -37,7 +37,7 @@ vals = [rng.getrandbits(32) for _ in range(BATCH)]
 ct = pub.encrypt(ptpu.PlainText(vals))
 ct_dev = ct.device_payload()
 ct_a, size = e._ct_operand(ct_dev, 2 * e.Lp2)
-kc2, conv2 = e.rns_crt
+kc2, conv2 = e.rns_crt_grouped  # grouped layout (drives pallas_rns_modexp2)
 two = e.sq_n.shape[0]
 Lp2 = e.Lp2
 Lp = e.pq_n.shape[-1]

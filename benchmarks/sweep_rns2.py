@@ -19,7 +19,7 @@ tiles = [int(t) for t in sys.argv[1:]] or [128, 256]
 rng = random.Random(0xBEEF)
 key = ptpu.generate_keypair(2048, enable_DJN=True)
 e = key.priv_key._engine
-kc2, conv2 = e.rns_crt
+kc2, conv2 = e.rns_crt_grouped  # grouped layout (these scripts drive pallas_rns_modexp2)
 k = int(kc2["sig0"].shape[-1])
 NW = int(e.exp_wins.shape[-1])
 log(f"decrypt-shape: k={k} NW={NW} Lp2={e.Lp2}")

@@ -35,6 +35,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops import paillier_ops as pops
 from ..ops.dispatch import default_backend
+from ..utils.config import perf_timer
 from ..ops.pallas_modexp import BATCH_TILE
 from ..ops.limbs import (
     LIMB_BITS,
@@ -69,6 +70,25 @@ def _download_limbs(dev_arr) -> List[int]:
     return limbs_to_ints(unpack_pairs_np(packed_np, L))
 
 
+def _perf(op: str):
+    """Wrap a public pipeline with the perf-mode wall timer
+    (utils/config.perf_timer, the HE_QAT_PERF analog — heqat stamps
+    submit->callback the same way, module/heqat/heqat/ctrl.c:497-499).
+    JAX dispatch is asynchronous, so this measures host codec + dispatch
+    wall time; device time shows up in the final download/sync."""
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(self, x, *args, **kw):
+            size = x.size if isinstance(x, DevLimbs) else len(x)
+            with perf_timer(f"{op}[B={size}]"):
+                return fn(self, x, *args, **kw)
+
+        return wrapper
+
+    return deco
+
+
 class DevLimbs:
     """A device-resident batch of canonical 15-bit limbs [Bp, L] plus the
     live (unpadded) batch size.
@@ -88,7 +108,8 @@ class DevLimbs:
         self.size = size
 
     def fetch(self) -> List[int]:
-        return _download_limbs(self.arr)[: self.size]
+        with perf_timer(f"download[B={self.size}]"):
+            return _download_limbs(self.arr)[: self.size]
 
     def sync(self) -> None:
         """Block until the producing computation completed on device
@@ -374,6 +395,7 @@ class PublicEngine(_EngineCommon):
     # entry points apply the hybrid split, then forward to the _impl
     # pipelines.
 
+    @_perf("encrypt_djn")
     def encrypt_djn_dev(self, m: Sequence[int], r) -> DevLimbs:
         out = self._hybrid("encrypt", "_encrypt_djn_impl", len(m), (m, r))
         return out if out is not None else self._encrypt_djn_impl(m, r)
@@ -431,6 +453,7 @@ class PublicEngine(_EngineCommon):
           self.hs_limbs)
         return DevLimbs(out, size)
 
+    @_perf("encrypt_normal")
     def encrypt_normal_dev(self, m: Sequence[int], r: Sequence[int]) -> DevLimbs:
         out = self._hybrid("encrypt", "_encrypt_normal_impl", len(m), (m, r))
         return out if out is not None else self._encrypt_normal_impl(m, r)
@@ -458,6 +481,7 @@ class PublicEngine(_EngineCommon):
         )(m_a, r_a, self.n_wins, self.n_limbs, n2_n, n2_n0inv, n2_r2, n2_one)
         return DevLimbs(out, size)
 
+    @_perf("obfuscate")
     def obfuscate_dev(self, ct, r) -> DevLimbs:
         out = self._hybrid(
             "encrypt", "_obfuscate_impl",
@@ -531,6 +555,7 @@ class PublicEngine(_EngineCommon):
         )(ct_a, r_a, self.n_wins, n2_n, n2_n0inv, n2_r2, n2_one)
         return DevLimbs(out, size)
 
+    @_perf("encrypt_noobf")
     def encrypt_noobf_dev(self, m: Sequence[int]) -> DevLimbs:
         size = len(m)
         m_p = self._pad(m, 0)
@@ -540,6 +565,7 @@ class PublicEngine(_EngineCommon):
         )
         return DevLimbs(out, size)
 
+    @_perf("add_ctct")
     def add_ctct_dev(self, a, b) -> DevLimbs:
         a_a, size = self._ct_operand(a, 0)
         b_a, b_size = self._ct_operand(b, 1)
@@ -557,6 +583,7 @@ class PublicEngine(_EngineCommon):
         )
         return DevLimbs(out, size)
 
+    @_perf("mul_ctpt")
     def mul_ctpt_dev(self, ct, pt: Sequence[int]) -> DevLimbs:
         out = self._hybrid(
             "multiply", "_mul_ctpt_impl",
@@ -698,22 +725,17 @@ class PrivateEngine(_EngineCommon):
             backend="xla",
         )
 
-    @property
-    def rns_crt(self):
-        """CRT-folded (p^2, q^2) RNS machinery: (kernel consts, conv
-        consts).  The kernel constants are FOLDED (fold_group_consts2):
-        both residue systems share the lane axis of one kernel step."""
-        if self._rns_crt is None:
-            import jax as _jax
+    def _rns_crt_ctxs(self):
+        """The (p^2, q^2) RNSContext pair behind both constant layouts.
 
-            from ..ops.pallas_rns2 import fold_group_consts2
+        M_A >= 2^(15*Lp2+1) > R lets decrypt feed the Montgomery-folded
+        base (< R, ops/bigint.py mod_fold_combine) straight into the
+        kernel: the first to-Montgomery multiply contracts
+        R*N/M_A + 2N < 3N, so the CIOS canonicalizing multiply the fold
+        otherwise needs disappears."""
+        if getattr(self, "_rns_crt_ctx_pair", None) is None:
             from ..ops.rns import GUARD_FACTOR, RNSContext
 
-            # M_A >= 2^(15*Lp2+1) > R lets decrypt feed the Montgomery-
-            # folded base (< R, ops/bigint.py mod_fold_combine) straight
-            # into the kernel: the first to-Montgomery multiply contracts
-            # R*N/M_A + 2N < 3N, so the CIOS canonicalizing multiply the
-            # fold otherwise needs disappears.
             bits = max(
                 2 * self._pbits + GUARD_FACTOR.bit_length(),
                 LIMB_BITS * self.Lp2 + 1,
@@ -724,13 +746,48 @@ class PrivateEngine(_EngineCommon):
             cq = RNSContext.create(
                 self._q * self._q, in_limbs=self.Lp2, product_bits=bits
             )
-            kc2 = fold_group_consts2([cp, cq])
+            self._rns_crt_ctx_pair = (cp, cq)
+        return self._rns_crt_ctx_pair
+
+    @property
+    def rns_crt(self):
+        """(p^2, q^2) RNS machinery for CRT decrypt: (kernel consts, conv
+        consts).  GROUPED layout (stack_group_consts2) with the
+        f32-reciprocal reduction — the fastest measured combination at
+        full batch on a v5e (benchmarks/expt_redmu.py: grouped+f32 31.7
+        ms/2048 vs folded+f32 39.4 and grouped+Barrett 34.1; the CRT fold
+        pays an extra ~2.4 ms in per-mont_mul selector broadcasts that
+        its lower lane padding does not buy back)."""
+        if self._rns_crt is None:
+            import jax as _jax
+
+            from ..ops.pallas_rns2 import stack_group_consts2
+
+            cp, cq = self._rns_crt_ctxs()
+            kc2 = stack_group_consts2([cp, cq], f32_mu=True)
             conv2 = _jax.tree.map(
                 lambda a, b: jnp.stack([jnp.asarray(a), jnp.asarray(b)]),
                 cp.device_consts(), cq.device_consts(),
             )
             self._rns_crt = (kc2, conv2)
         return self._rns_crt
+
+    @property
+    def rns_crt_grouped(self):
+        """GROUPED (stack_group_consts2) layout of the same (p^2, q^2)
+        machinery, for the two-group grid kernel (pallas_rns_modexp2) —
+        used by profiling/sweep tooling that compares the layouts."""
+        import jax as _jax
+
+        from ..ops.pallas_rns2 import stack_group_consts2
+
+        cp, cq = self._rns_crt_ctxs()
+        kc2 = stack_group_consts2([cp, cq])
+        conv2 = _jax.tree.map(
+            lambda a, b: jnp.stack([jnp.asarray(a), jnp.asarray(b)]),
+            cp.device_consts(), cq.device_consts(),
+        )
+        return (kc2, conv2)
 
     @property
     def rns_raw(self):
@@ -762,6 +819,7 @@ class PrivateEngine(_EngineCommon):
             return self._up_limbs(ct_p, width), len(ct)
         return jnp.asarray(ints_to_limbs(ct_p, width)), len(ct)
 
+    @_perf("decrypt_crt")
     def decrypt_crt_dev(self, ct) -> DevLimbs:
         out = self._hybrid(
             "decrypt", "_decrypt_crt_impl",
@@ -804,6 +862,7 @@ class PrivateEngine(_EngineCommon):
             )
         return DevLimbs(out, size)
 
+    @_perf("decrypt_raw")
     def decrypt_raw_dev(self, ct) -> DevLimbs:
         out = self._hybrid(
             "decrypt", "_decrypt_raw_impl",

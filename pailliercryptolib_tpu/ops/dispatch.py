@@ -18,7 +18,6 @@ even though a single TPU backend is typically optimal.
 from __future__ import annotations
 
 import enum
-import os
 import threading
 from typing import Optional
 
@@ -136,8 +135,15 @@ def hybrid_head_count(op: str, size: int, backend: str) -> int:
 
 
 def default_backend() -> str:
-    """Pick the modexp backend for this process."""
-    forced = os.environ.get("PAILLIER_TPU_BACKEND")
+    """Pick the modexp backend for this process.
+
+    Order: runtime config (utils/config.set_config or the
+    PAILLIER_TPU_BACKEND env var it loads) > device autodetect — the
+    analog of the reference's IPCL_DISABLE_AVX512IFMA-style runtime
+    overrides (ipcl/include/ipcl/utils/util.hpp:48-64)."""
+    from ..utils.config import get_config
+
+    forced = get_config().backend
     if forced:
         return forced
     try:

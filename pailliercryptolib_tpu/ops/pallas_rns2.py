@@ -73,21 +73,47 @@ FB_TABLE = 1 << FB_WINDOW_BITS
 
 
 def _red_mu(v, m, mu, layers=3):
-    """Fused Barrett: v < 2^29.7 -> v mod m (m in (2^13,2^14), mu=2^28/m).
+    """Fused reduction: v < 2^29.7 -> v mod m (m in (2^13, 2^14)).
 
-    Quotient error < 8 at this bound, so r < 8m after the estimate; the
-    4m/2m/m conditional-subtract chain canonicalizes.  ``layers=2`` stops
-    at r < 2m for consumers that tolerate a redundant residue (sigma).
-    (Mosaic cannot lower unsigned min, so these stay where-selects.)"""
-    q = ((v >> MOD_BITS) * mu) >> MOD_BITS
-    r = v - q * m
-    m4 = m << 2
-    m2 = m << 1
-    r = jnp.where(r >= m4, r - m4, r)
-    r = jnp.where(r >= m2, r - m2, r)
+    Two statically-selected flavors, dispatched on ``mu``'s dtype (fixed
+    at constant-build time, stack/fold_group_consts2 ``f32_mu``):
+
+    * uint32 ``mu`` = floor(2^28/m) — integer Barrett.  Quotient error
+      < 8 at this bound, so r < 8m after the estimate; the 4m/2m/m
+      conditional-subtract chain canonicalizes.  Default for the
+      fixed-base encrypt kernels (the f32 flavor regressed them 10x on
+      TPU, VERDICT r03).
+    * float32 ``mu`` = (1 - 2^-20)/m — reciprocal flavor.  The truncated
+      quotient q = i32(f32(v) * mu) is in {q_true-1, q_true}: the 2^-20
+      downward bias dominates the three rounding errors (v's i32->f32
+      cast at <= 2^-24 rel for v < 2^30, mu's f32 rounding, the
+      product's), so ONE conditional subtract canonicalizes — ~4 VPU
+      ops saved per chain, 3 chains per mont_mul.  Casts go
+      u32 -> i32 -> f32 (Mosaic has no uint<->float path).
+
+    ``layers=2`` stops at r < 2m for consumers that tolerate a
+    redundant residue.  (Mosaic cannot lower unsigned min, so the
+    subtracts stay where-selects.)"""
+    if mu.dtype == _F32:
+        q = _to_u32(v.astype(_I32).astype(_F32) * mu)
+        r = v - q * m
+    else:
+        q = ((v >> MOD_BITS) * mu) >> MOD_BITS
+        r = v - q * m
+        m4 = m << 2
+        m2 = m << 1
+        r = jnp.where(r >= m4, r - m4, r)
+        r = jnp.where(r >= m2, r - m2, r)
     if layers >= 3:
         r = jnp.where(r >= m, r - m, r)
     return r
+
+
+def _inv_f32(mods):
+    """The f32 reciprocal rows for _red_mu's f32 flavor: (1 - 2^-20)/m."""
+    import numpy as np
+
+    return ((1.0 - 2.0**-20) / mods.astype(np.float64)).astype(np.float32)
 
 
 def _mulmod(x, y, m, mu):
@@ -114,9 +140,15 @@ def _mmf32(a, b):
     """f32 matmul (exact for integer operands < 2^24): used for the tiny
     [Bt, G] @ [G, lanes] group-selector broadcasts in the folded kernel.
 
-    Correctness REQUIRES full f32 precision: the alpha2 values being
-    broadcast reach 2^14, beyond bf16's 8-bit mantissa, so a bf16-pass
-    lowering would silently corrupt results.  Precision.HIGHEST pins it."""
+    Correctness REQUIRES more than 1-pass bf16 precision: the alpha
+    values being broadcast reach 2^14, beyond bf16's 8-bit mantissa, so
+    a single-pass bf16 lowering would silently corrupt results.
+    Precision.HIGHEST pins an exact lowering (3-pass bf16 would also be
+    exact for the 0/1 selector weights, but Mosaic only lowers DEFAULT
+    and HIGHEST).  The pin costs ~1-4 ms/2048-batch vs the unpinned
+    DEFAULT-that-happened-to-be-exact — one reason the folded layout now
+    measures behind the grouped one at full batch (benchmarks/
+    expt_redmu.py), which is why decrypt defaults to grouped consts."""
     return jax.lax.dot_general(
         a, b, (((1,), (0,)), ((), ())),
         preferred_element_type=_F32,
@@ -175,15 +207,23 @@ def _mm_terms(x, Tlo, Thi, c28, c21, ncols=None):
 # constants
 # ---------------------------------------------------------------------------
 
-def _per_ctx_consts2(c):
-    """v3 fused constants for ONE RNSContext (see stack_group_consts2)."""
+def _per_ctx_consts2(c, f32_mu=False):
+    """v3 fused constants for ONE RNSContext (see stack_group_consts2).
+
+    ``f32_mu`` selects _red_mu's f32-reciprocal flavor for the full-width
+    reduction chains (decrypt kernels measure faster with it; the
+    fixed-base encrypt kernels measure much slower — keep the default)."""
     import numpy as np
 
     k = c.k
     A = c.mods[:k].astype(np.uint64)
     Bx = c.mods[k:].astype(np.uint64)  # B primes + m_r
-    muA = c.barrett[:k]
-    muBx = c.barrett[k:]
+    if f32_mu:
+        muA = _inv_f32(c.mods[:k])
+        muBx = _inv_f32(c.mods[k:])
+    else:
+        muA = c.barrett[:k]
+        muBx = c.barrett[k:]
     N = c.N
     mr = int(c.mods[-1])
     sig0 = c.sigma_c_A.astype(np.uint64)
@@ -221,7 +261,11 @@ def _per_ctx_consts2(c):
     padA = (A << MOD_BITS).astype(np.uint32)
     # modsAr: A-moduli columns + m_r column (T2x reduction targets)
     modsAr = np.concatenate([c.mods[:k], c.mods[-1:]])
-    muAr = np.concatenate([muA, c.barrett[-1:]])
+    muAr = (
+        _inv_f32(modsAr)
+        if f32_mu
+        else np.concatenate([muA, c.barrett[-1:]])
+    )
 
     def planes(T):
         lo = (T & DIGIT_MASK).astype(np.int8)
@@ -251,9 +295,15 @@ def _per_ctx_consts2(c):
         inv_a_f32=c.inv_a_f32,
         T1lo=T1lo, T1hi=T1hi,
         T2lo=T2lo, T2hi=T2hi,
-        # scalars: m_r, mu_r, (unused), 2*m_r (alpha2 pad)
+        # scalars: m_r, mu_r (int Barrett), (unused), 2*m_r (alpha2 pad)
         scal=np.array(
             [mr, int(c.barrett[-1]), 0, 2 * mr], np.uint32
+        ),
+        # f32 reciprocal of m_r (lane 0; padded to width 4) — the m_r
+        # chain's mu when f32_mu is selected (flavor is dispatched on
+        # muA's dtype, so both rows always ship)
+        scalf=np.concatenate(
+            [_inv_f32(c.mods[-1:]), np.zeros((3,), np.float32)]
         ),
         sqA=c.mont_sq[:k],
         sqB=((c.mont_sq[k:].astype(np.uint64) * wvec) % Bx).astype(
@@ -270,25 +320,26 @@ def _per_ctx_consts2(c):
         ).astype(np.uint32),
     )
 
-def stack_group_consts2(ctxs) -> dict:
+def stack_group_consts2(ctxs, f32_mu=False) -> dict:
     """Build the v3 fused constants from RNSContexts (all same k).
 
     The B-side (and m_r) lanes of every Montgomery-domain constant are
     pre-multiplied by w = [(M_B/b_j)^{-1} mod b_j | M_B^{-1} mod m_r]
     (the scaled-B carry, see module docstring); ``wvec`` is kept in the
-    dict for host-side scaling of extra kernel inputs (fixed-base g)."""
+    dict for host-side scaling of extra kernel inputs (fixed-base g).
+    ``f32_mu`` selects _red_mu's f32-reciprocal flavor (see there)."""
     import numpy as np
 
     k = ctxs[0].k
     assert all(c.k == k for c in ctxs)
-    ds = [_per_ctx_consts2(c) for c in ctxs]
+    ds = [_per_ctx_consts2(c, f32_mu=f32_mu) for c in ctxs]
     out = {}
     for key in ds[0]:
         out[key] = jnp.asarray(np.stack([d[key] for d in ds]))
     return out
 
 
-def fold_group_consts2(ctxs) -> dict:
+def fold_group_consts2(ctxs, f32_mu=False) -> dict:
     """Fold TWO same-k RNSContexts (CRT's p^2 / q^2) into ONE set of
     kernel constants whose LANE axis carries both groups side by side.
 
@@ -316,7 +367,8 @@ def fold_group_consts2(ctxs) -> dict:
 
     assert len(ctxs) == 2 and ctxs[0].k == ctxs[1].k
     k = ctxs[0].k
-    d0, d1 = _per_ctx_consts2(ctxs[0]), _per_ctx_consts2(ctxs[1])
+    d0 = _per_ctx_consts2(ctxs[0], f32_mu=f32_mu)
+    d1 = _per_ctx_consts2(ctxs[1], f32_mu=f32_mu)
     k2 = 2 * k
 
     def cat_a(key):  # A-side row constants [k] -> [2k]
@@ -341,7 +393,10 @@ def fold_group_consts2(ctxs) -> dict:
     out["c21Ar"] = cat_b("c21A")
     # redundant-modulus scalars become [2] rows (one lane per group)
     out["mrv"] = np.array([d0["scal"][0], d1["scal"][0]], np.uint32)
-    out["murv"] = np.array([d0["scal"][1], d1["scal"][1]], np.uint32)
+    if f32_mu:
+        out["murv"] = np.array([d0["scalf"][0], d1["scalf"][0]], np.float32)
+    else:
+        out["murv"] = np.array([d0["scal"][1], d1["scal"][1]], np.uint32)
     out["twomrv"] = np.array([d0["scal"][3], d1["scal"][3]], np.uint32)
 
     def fold_T1(key):  # [k, k+2] per group -> [2k, 2k+4]
@@ -397,7 +452,7 @@ def fold_group_consts2(ctxs) -> dict:
 
 
 _MM2_KEYS = (
-    "scal", "modsA", "muA", "modsBx", "muBx", "modsAr", "muAr", "sig0",
+    "scal", "scalf", "modsA", "muA", "modsBx", "muBx", "modsAr", "muAr", "sig0",
     "sig1", "c0", "c1", "cAlpha", "c28B", "c21B", "c28A", "c21A",
     "MB_mod_A", "padA", "winv", "T1lo", "T1hi", "T2lo",
     "T2hi", "sqA", "sqB", "oneA", "oneB", "poneB",
@@ -482,8 +537,12 @@ def _make_mont_mul2(c, streams=1):
         two_mr = c["twomrv"]
         c28A, c21A = c["c28Ar"], c["c21Ar"]
     else:
-        scal = c["scal"]  # [1, 4]: m_r, mu_r, (unused), 2*m_r
-        m_r, mu_r = scal[:, 0:1], scal[:, 1:2]
+        scal = c["scal"]  # [1, 4]: m_r, mu_r(int), (unused), 2*m_r
+        m_r = scal[:, 0:1]
+        # _red_mu flavor follows the constant set (muA's dtype)
+        mu_r = (
+            c["scalf"][:, 0:1] if c["muA"].dtype == _F32 else scal[:, 1:2]
+        )
         two_mr = scal[:, 3:4]
         c28A, c21A = c["c28A"], c["c21A"]
 

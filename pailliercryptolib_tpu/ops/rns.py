@@ -36,8 +36,8 @@ Algorithm: Bajard–Imbert RNS Montgomery multiplication.
   three conditional subtracts.  No 64-bit arithmetic anywhere.
 
 The whole scheme is validated limb-for-limb against Python pow() in
-tests/test_rns.py; the fused Pallas kernel (ops/pallas_rns.py) reuses the
-exact same constants and stage functions.
+tests/test_rns.py; the fused Pallas kernels (ops/pallas_rns2.py) derive
+their constants from the same RNSContext.
 """
 
 from __future__ import annotations

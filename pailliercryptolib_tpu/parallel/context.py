@@ -11,7 +11,6 @@ over the ciphertext batch axis, and records the preferred compute backend
 from __future__ import annotations
 
 import dataclasses
-import os
 from typing import Optional
 
 import jax
@@ -76,7 +75,7 @@ def initialize_context(
     else:
         from ..ops.dispatch import default_backend
 
-        backend = os.environ.get("PAILLIER_TPU_BACKEND") or default_backend()
+        backend = default_backend()  # honors config/env overrides
     _CONTEXT = PaillierContext(choice=choice, mesh=mesh, backend=backend)
     return _CONTEXT
 

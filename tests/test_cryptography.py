@@ -206,3 +206,28 @@ def test_iso_iec_18033_6_compliance_full_batch():
     assert dt.texts == pts
     assert ct.get_element(0) == ISO_C1
     assert ct.get_element(1) == ISO_C2
+
+
+@pytest.mark.slow
+def test_roundtrip_random_4096(rng):
+    """4096-bit key envelope (the reference caps at 2048 — a mbx_exp_mb8
+    operand-width limit, ipcl/keygen.cpp:10-11; the limb/RNS kernels here
+    are width-generic, so the full claimed range is exercised)."""
+    values = [rng.getrandbits(32) for _ in range(8)]
+    _roundtrip(4096, True, values)
+
+
+@pytest.mark.slow
+def test_encrypt_deterministic_oracle_4096(rng):
+    """4096-bit determinism: injected obfuscator randoms make encryption a
+    pure function; ciphertexts must equal the Python pow() oracle
+    (the setRandom hook contract, ipcl/pub_key.cpp:51-64,92-97)."""
+    key = ptpu.generate_keypair(4096, enable_DJN=True)
+    pk = key.pub_key
+    n, n2 = pk.n, pk.n * pk.n
+    msgs = [rng.getrandbits(32) for _ in range(3)]
+    rs = [rng.getrandbits(pk.randbits) for _ in range(3)]
+    pk.set_random(list(rs))
+    ct = pk.encrypt(ptpu.PlainText(msgs))
+    for i, (m, r) in enumerate(zip(msgs, rs)):
+        assert ct.get_element(i) == (n * m + 1) * pow(pk.hs, r, n2) % n2

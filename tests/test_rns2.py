@@ -42,16 +42,18 @@ def test_modexp2_variable_windows(ctx256):
         assert v <= 2 * N
 
 
-def test_modexp2_shared_windows_grouped(ctx256):
+@pytest.mark.parametrize("f32_mu", [False, True])
+def test_modexp2_shared_windows_grouped(ctx256, f32_mu):
     """Two modulus systems, one shared exponent each (the CRT decrypt
-    configuration: SMEM windows, no per-row selects)."""
+    configuration: SMEM windows, no per-row selects); both _red_mu
+    flavors (integer Barrett and f32 reciprocal)."""
     rng = random.Random(199)
     n1 = rng.getrandbits(200) | (1 << 199) | 1
     n2 = rng.getrandbits(200) | (1 << 199) | 1
     c1 = rns.RNSContext.create(n1, product_bits=204)
     c2 = rns.RNSContext.create(n2, product_bits=204)
     assert c1.k == c2.k
-    consts = stack_group_consts2([c1, c2])
+    consts = stack_group_consts2([c1, c2], f32_mu=f32_mu)
     B, ebits = BATCH_TILE, 24
     bases = [[rng.randrange(m) for _ in range(B)] for m in (n1, n2)]
     exps = [rng.getrandbits(ebits) for _ in range(2)]
@@ -68,8 +70,10 @@ def test_modexp2_shared_windows_grouped(ctx256):
             assert v % m == pow(b, exps[g], m)
 
 
-@pytest.mark.parametrize("streams", [1, 4])
-def test_modexp2_folded_crt(streams):
+@pytest.mark.parametrize(
+    "streams,f32_mu", [(1, False), (4, False), (4, True)]
+)
+def test_modexp2_folded_crt(streams, f32_mu):
     """CRT-folded kernel: both residue systems side by side on the lane
     axis of ONE kernel step, two SMEM shared exponents."""
     rng = random.Random(211)
@@ -77,7 +81,7 @@ def test_modexp2_folded_crt(streams):
     n2 = rng.getrandbits(200) | (1 << 199) | 1
     c1 = rns.RNSContext.create(n1, product_bits=204)
     c2 = rns.RNSContext.create(n2, product_bits=204)
-    consts = fold_group_consts2([c1, c2])
+    consts = fold_group_consts2([c1, c2], f32_mu=f32_mu)
     B, ebits = BATCH_TILE, 24
     bases = [[rng.randrange(m) for _ in range(B - 2)] + [0, 1] for m in (n1, n2)]
     exps = [rng.getrandbits(ebits) | 1 for _ in range(2)]
