@@ -16,8 +16,8 @@ outside the Montgomery exponentiation core:
                       multiply of the high half (x_hi * R mod m == x_hi
                       shifted), replacing the reference's per-element
                       ``ciphertext[i] % psq`` loop (ipcl/pri_key.cpp:122-130).
-* add / sub helpers with scan-based carry/borrow chains (used once per
-  scheme op, never inside hot loops).
+* add / sub helpers with Kogge–Stone carry/borrow lookahead (log-depth
+  elementwise ops; used once per scheme op, never inside hot loops).
 
 All arrays are uint32 limb tensors as defined in ops/limbs.py.
 """
@@ -36,27 +36,67 @@ _U32 = jnp.uint32
 def mul_shared(a: jax.Array, x: jax.Array) -> jax.Array:
     """Full product of shared ``a`` [La] with batched ``x`` [..., Lx].
 
-    Returns canonical limbs [..., La+Lx].  Inputs must have digits <= 2**15.
-    Partial products accumulate redundantly (lo/hi split) with no carries in
-    the loop; a single canonicalization pass runs at the end.
+    Returns canonical limbs [..., La+Lx].  ``a`` must be canonical
+    (< 2**15); ``x`` digits may be redundant up to 2**15 inclusive.
+
+    The product is ONE exact integer matmul against a Toeplitz matrix of
+    a's limbs — out[j] = sum_l x[l] * a[j-l] — evaluated as int8 7-bit
+    digit planes with i32 accumulation on the MXU (partial sums
+    <= 127^2 * Lx < 2^23: exact), exactly the machinery of the RNS base
+    extensions (ops/rns.py).  This replaces a fori_loop of La sequential
+    dynamic-slice updates whose per-step overhead dominated the decrypt
+    tail and the raw-encrypt embedding.
     """
     La = a.shape[-1]
     Lx = x.shape[-1]
-    batch_shape = x.shape[:-1]
-    acc = jnp.zeros(batch_shape + (La + Lx,), _U32)
-    zero_col = jnp.zeros(batch_shape + (1,), _U32)
+    Lo = La + Lx
+    # Toeplitz weights T[l, j] = a[j - l] (0 outside [0, La))
+    jj = jnp.arange(Lo, dtype=jnp.int32)[None, :]
+    ll = jnp.arange(Lx, dtype=jnp.int32)[:, None]
+    idx = jj - ll
+    valid = (idx >= 0) & (idx < La)
+    T = jnp.where(valid, a[jnp.clip(idx, 0, La - 1)], _U32(0))  # [Lx, Lo]
 
-    def body(i, acc):
-        ai = jax.lax.dynamic_slice_in_dim(a, i, 1, axis=-1)  # [1]
-        p = ai * x  # [..., Lx]
-        lo = p & LIMB_MASK
-        hi = p >> LIMB_BITS
-        seg = jnp.concatenate([lo, zero_col], axis=-1)
-        seg = seg.at[..., 1:].add(hi)  # [..., Lx+1]
-        cur = jax.lax.dynamic_slice_in_dim(acc, i, Lx + 1, axis=-1)
-        return jax.lax.dynamic_update_slice_in_dim(acc, cur + seg, i, axis=-1)
+    def planes3(v):  # digits <= 2**15 -> 7/7/1(2)-bit int8 planes
+        i8 = jnp.int8
+        return (
+            (v & _U32(127)).astype(jnp.int32).astype(i8),
+            ((v >> _U32(7)) & _U32(127)).astype(jnp.int32).astype(i8),
+            (v >> _U32(14)).astype(jnp.int32).astype(i8),
+        )
 
-    acc = jax.lax.fori_loop(0, La, body, acc)
+    xp = planes3(x)
+    Tp = planes3(T)
+
+    def mm(u, V):
+        return jax.lax.dot_general(
+            u, V, (((u.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+    # group the 9 plane products by total shift s = 7*(i+j)
+    S = [None] * 5
+    for i in range(3):
+        for j in range(3):
+            prod = mm(xp[i], Tp[j])
+            s = i + j
+            S[s] = prod if S[s] is None else S[s] + prod
+    # recombine: value = sum_s S_s * 2^(7s), split at limb boundaries
+    acc = jnp.zeros(x.shape[:-1] + (Lo,), _U32)
+
+    def shift_cols(arr, by):
+        if by == 0:
+            return arr
+        pad = jnp.zeros(arr.shape[:-1] + (by,), _U32)
+        return jnp.concatenate([pad, arr[..., :-by]], axis=-1)
+
+    for s, plane in enumerate(S):
+        pshift = 7 * s
+        col, r = divmod(pshift, LIMB_BITS)
+        pl = plane.astype(_U32)
+        lo_part = (pl & _U32((1 << (LIMB_BITS - r)) - 1)) << _U32(r)
+        hi_part = pl >> _U32(LIMB_BITS - r)
+        acc = acc + shift_cols(lo_part, col) + shift_cols(hi_part, col + 1)
     return canonicalize(acc)
 
 
@@ -76,20 +116,18 @@ def add_scalar(x: jax.Array, c: int) -> jax.Array:
 
 
 def sub_borrow(x: jax.Array, y: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """(x - y) mod 2**(15L) with the final borrow flag; canonical inputs."""
+    """(x - y) mod 2**(15L) with the final borrow flag; canonical inputs.
+
+    Kogge–Stone borrow-lookahead (log-depth), no sequential limb scan."""
+    from .montgomery import _carry_prefix, _shift_in_zero
+
     y_b = jnp.broadcast_to(y, x.shape)
-    xs = jnp.moveaxis(x, -1, 0)
-    ys = jnp.moveaxis(y_b, -1, 0)
-    borrow0 = jnp.zeros(x.shape[:-1], _U32)
-
-    def step(borrow, xy):
-        xj, yj = xy
-        sub = yj + borrow
-        new_borrow = (xj < sub).astype(_U32)
-        return new_borrow, (xj - sub) & LIMB_MASK
-
-    final_borrow, diffs = jax.lax.scan(step, borrow0, (xs, ys))
-    return jnp.moveaxis(diffs, 0, -1), final_borrow
+    g = (x < y_b).astype(_U32)
+    p = (x == y_b).astype(_U32)
+    B = _carry_prefix(g, p)
+    b_in = _shift_in_zero(B)
+    diff = (x - y_b - b_in) & LIMB_MASK
+    return diff, B[..., -1]
 
 
 def add_carry(x: jax.Array, y: jax.Array) -> jax.Array:
