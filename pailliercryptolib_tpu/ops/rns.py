@@ -136,7 +136,18 @@ class RNSContext:
         pool = _prime_pool()
         # greedily take the largest primes first (fewer moduli)
         pool = sorted(pool, reverse=True)
-        target = GUARD_FACTOR * N
+        # The base-product target is QUANTIZED to a 16-bit grid: with the
+        # raw target 9*N, the moduli count k — and with it every kernel
+        # shape and persistent-compile-cache key — flips at prime-count
+        # boundaries depending on the key's exact magnitude, so two
+        # same-bit-size keys could compile distinct (but identical-cost)
+        # programs and never share the cache across processes.  Rounding
+        # ceil(log2(9N)) <= nbits+4 up to a multiple of 16 makes k a
+        # function of the key's size class only (a 2048-bit keypair's
+        # n^2 spans 4093..4096 bits -> one target, 4112) at a cost of at
+        # most one extra 14-bit modulus.
+        tbits = -(-(nbits + GUARD_FACTOR.bit_length()) // 16) * 16
+        target = 1 << tbits
         if product_bits is not None:
             target = max(target, 1 << product_bits)
 
