@@ -63,7 +63,11 @@ WORKLOAD_SIZE_THRESHOLD = 128
 #: The reference's QAT-tuned values are encrypt 0.25 / decrypt 0.12 /
 #: multiply 0.18 (ipcl/utils/common.hpp:20-23) because its accelerator
 #: loses to AVX512 on most of the batch; on TPU the fused kernel wins at
-#: every size, so the tuned optimum is 1.0 across the board.
+#: every size, so the tuned optimum is 1.0 across the board.  MEASURED,
+#: not assumed: benchmarks/bench_hybrid.py sweep on a v5e
+#: (benchmarks/results/hybrid_sweep_v5e.jsonl) — any encrypt ratio < 1
+#: is ~20x slower (the XLA tail dominates at ~250 ms/batch), and
+#: decrypt/multiply never beat 1.0 at any batch size.
 OPTIMAL_RATIOS = {"encrypt": 1.0, "decrypt": 1.0, "multiply": 1.0}
 HYBRID_RATIO_FULL = 1.0
 
