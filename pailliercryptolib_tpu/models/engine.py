@@ -175,6 +175,21 @@ def _is_rns(backend: str) -> bool:
     return backend.startswith("rns")
 
 
+def _width_backend(backend: str, mod_bits: int) -> str:
+    """Downgrade an RNS backend choice to the width-generic CIOS kernel
+    when the modulus exceeds the 14-bit prime pool's reach (~5.7k bits;
+    ops/rns.rns_supported).  Hit by the public engine of 3072+ -bit keys
+    (n^2 up to 8192 bits); CRT decrypt's half-width p^2/q^2 stay on RNS
+    for every supported key size."""
+    if not _is_rns(backend):
+        return backend
+    from ..ops.rns import rns_supported
+
+    if rns_supported(mod_bits):
+        return backend
+    return "pallas_interpret" if _rns_interp(backend) else "pallas"
+
+
 def _rns_interp(backend: str) -> bool:
     return backend == "rns_interpret"
 
@@ -285,12 +300,12 @@ class PublicEngine(_EngineCommon):
         backend: Optional[str] = None,
         mesh=None,
     ):
-        self.backend = _resolve_backend(backend)
+        self.nbits = n.bit_length()
+        self.backend = _width_backend(_resolve_backend(backend), 2 * self.nbits)
         self.mesh = _resolve_mesh(mesh)
         self._ndev = int(self.mesh.devices.size) if self.mesh is not None else 1
         self._secondary: Optional["PublicEngine"] = None
         self.n = n
-        self.nbits = n.bit_length()
         self.nsquare = n * n
         self.Ln = limbs_for_bits(self.nbits)
         self.mont_n2 = MontConstants.create(self.nsquare, 2 * self.nbits)
@@ -658,13 +673,15 @@ class PrivateEngine(_EngineCommon):
         mesh=None,
     ):
         assert p < q
-        self.backend = _resolve_backend(backend)
+        pbits = max(p.bit_length(), q.bit_length())
+        # CRT decrypt runs at p^2/q^2 width (RNS reaches every supported
+        # key size); the RAW path gates on n^2 width per call
+        self.backend = _width_backend(_resolve_backend(backend), 2 * pbits)
         self.mesh = _resolve_mesh(mesh)
         self._ndev = int(self.mesh.devices.size) if self.mesh is not None else 1
         self._secondary: Optional["PrivateEngine"] = None
         self.n = n
         self.nbits = n.bit_length()
-        pbits = max(p.bit_length(), q.bit_length())
         self.Lp = limbs_for_bits(pbits)
         self.mont_p2 = MontConstants.create(p * p, 2 * pbits)
         self.mont_q2 = MontConstants.create(q * q, 2 * pbits)
@@ -874,7 +891,10 @@ class PrivateEngine(_EngineCommon):
         ct_a, size = self._ct_operand(ct, self.mont_n2.num_limbs)
         n2_n, n2_n0inv, n2_r2, n2_one = self.mont_n2.as_device_args()
         n_n, n_n0inv, n_r2, _ = self.mont_n.as_device_args()
-        if _is_rns(self.backend):
+        # RAW runs at n^2 width: wider than the RNS pool's reach for
+        # 3072+ -bit keys even when the CRT path (p^2 width) is on RNS
+        raw_backend = _width_backend(self.backend, 2 * self.nbits)
+        if _is_rns(raw_backend):
             kc, conv = self.rns_raw
             interp = _rns_interp(self.backend)
             cios = "pallas_interpret" if interp else "pallas"
@@ -889,7 +909,7 @@ class PrivateEngine(_EngineCommon):
             )(res, self.hensel_n, self.x_limbs, n_n, n_n0inv, n_r2)
         else:
             out = self._stage(
-                pops.decrypt_raw_op, (0,), backend=self.backend
+                pops.decrypt_raw_op, (0,), backend=raw_backend
             )(
                 ct_a,
                 self.lam_wins,

@@ -82,6 +82,29 @@ def _barrett_consts(ms: np.ndarray) -> np.ndarray:
     return (np.uint64(1 << 28) // ms.astype(np.uint64)).astype(np.uint32)
 
 
+@functools.lru_cache(maxsize=None)
+def rns_max_modulus_bits() -> int:
+    """Largest modulus bit-width the 14-bit prime pool can serve.
+
+    Two bases of k primes plus m_r must cover the quantized target
+    2^ceil16(nbits+4) twice over; the pool holds ~870 primes, enough for
+    N up to ~5900 bits (3000-bit Paillier keys' n^2, or any p^2 of keys
+    to 4096+ bits).  Above this the engines fall back to the width-
+    generic CIOS kernel backend (ops/pallas_modexp.py)."""
+    import math
+
+    pool = sorted(_prime_pool(), reverse=True)
+    half = (len(pool) - 1) // 2
+    bits_b = sum(math.log2(p) for p in pool[half:2 * half])
+    # the B base (smaller primes) binds; undo the +4 guard / 16-grid
+    return int(bits_b) // 16 * 16 - GUARD_FACTOR.bit_length() - 16
+
+
+def rns_supported(nbits: int) -> bool:
+    """Whether the RNS/MXU backend can represent an ``nbits`` modulus."""
+    return nbits <= rns_max_modulus_bits()
+
+
 @dataclass(frozen=True)
 class RNSContext:
     """Host-side constants for RNS Montgomery arithmetic modulo N."""

@@ -51,3 +51,30 @@ def test_engine_rns_interpret_apply_obfuscator():
     ct2 = key.pub_key.apply_obfuscator(ct)
     assert ct2.texts != ct.texts  # fresh randomness changed the bytes
     assert key.priv_key.decrypt(ct2).texts == vals
+
+
+def test_width_fallback_beyond_prime_pool():
+    """Moduli beyond the 14-bit prime pool's reach (~5.7k bits) must fall
+    back to the width-generic CIOS backend instead of crashing at RNS
+    context creation (hit by the public engine of 3072+/4096-bit keys)."""
+    import random
+
+    from pailliercryptolib_tpu.models.engine import PublicEngine, PrivateEngine
+    from pailliercryptolib_tpu.ops.rns import rns_max_modulus_bits, rns_supported
+
+    assert rns_supported(4096)
+    assert not rns_supported(8192)
+    assert rns_max_modulus_bits() >= 4096
+
+    rng = random.Random(9)
+    # synthetic 4096-bit odd n (n^2 = 8192 bits): public engine downgrades
+    n = rng.getrandbits(4096) | (1 << 4095) | 1
+    pub = PublicEngine(n, 4096, hs=None, randbits=2048, backend="rns")
+    assert pub.backend == "pallas"
+    pub_i = PublicEngine(n, 4096, hs=None, randbits=2048,
+                         backend="rns_interpret")
+    assert pub_i.backend == "pallas_interpret"
+    # a 2048-bit n stays on RNS
+    n2 = rng.getrandbits(2048) | (1 << 2047) | 1
+    assert PublicEngine(n2, 2048, hs=None, randbits=1024,
+                        backend="rns").backend == "rns"
