@@ -294,8 +294,14 @@ def decrypt_crt_rns_op(
         )
         res_rns = unfold_rns_out(res_f, k)
     else:
+        # 256-row tiles with 8 streams measure ~6% faster than 128/4 at
+        # full batch on a v5e (benchmarks/results: 29.5 vs 31.3 ms/2048);
+        # batches only tile-aligned to 128 keep the 128/4 configuration.
+        B = bases.shape[1]
+        bt = 256 if B % 256 == 0 else 128
         res_rns = pallas_rns_modexp2(
-            bases, exp_wins[:, 0], kc2, shared=True, streams=4,
+            bases, exp_wins[:, 0], kc2, shared=True,
+            streams=8 if bt == 256 else 4, batch_tile=bt,
             interpret=interpret,
         )
     res = jax.vmap(_rns_finalize, in_axes=(0, 0, 0, None))(
