@@ -379,9 +379,16 @@ def fb_table_stage(g_limbs, kc, conv, interpret=False):
 @_rjit
 def rns_fb_modexp_stage(planes, win_bytes, kc, interpret=False):
     """Fixed-base modexp: exponent bytes [B, NP] (LS first) -> residues
-    [B, K] of a representative <= 2N of base^e mod N."""
+    [B, K] of a representative <= 2N of base^e mod N.
+
+    256-row tiles with 4 streams measure ~5% faster than 128/2 at full
+    batch on a v5e (6.72 vs 7.08 ms/2048); 128-aligned batches keep the
+    small configuration."""
+    B = win_bytes.shape[0]
+    bt = 256 if B % 256 == 0 else 128
     return pallas_fb_modexp2(
-        *planes, win_bytes[None], kc, interpret=interpret
+        *planes, win_bytes[None], kc, interpret=interpret,
+        batch_tile=bt, streams=4 if bt == 256 else 2,
     )[0]
 
 

@@ -1053,12 +1053,19 @@ def fb_digit_planes2(tabA, tabB):
     return tAlo, tAhi, tBlo, tBhi
 
 
-def _fb_modexp2_kernel(*refs):
+@functools.lru_cache(maxsize=None)
+def _fb_modexp2_kernel_streams(streams):
+    def kernel(*refs):
+        _fb_modexp2_body(streams, *refs)
+
+    return kernel
+
+
+def _fb_modexp2_body(streams, *refs):
     c = _mm2_cref(refs[:_MM2_NREFS])
     (tAlo_ref, tAhi_ref, tBlo_ref, tBhi_ref, win_ref, outA_ref, outB_ref,
      accA_ref, accB_ref, win_scr) = refs[_MM2_NREFS:]
-    streams = 2
-    mm = _make_mont_mul2(c, streams=streams)
+    mm = _make_mont_mul2(c, streams=max(streams, 2))
     i = pl.program_id(2)
     NP = pl.num_programs(2)
     Bt = win_ref.shape[-2]
@@ -1109,15 +1116,17 @@ def _fb_modexp2_kernel(*refs):
             )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "batch_tile"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "batch_tile", "streams")
+)
 def pallas_fb_modexp2(tAlo, tAhi, tBlo, tBhi, wins, consts, *,
-                      interpret=False, batch_tile=BATCH_TILE):
+                      interpret=False, batch_tile=BATCH_TILE, streams=2):
     """base^e with a precomputed table; wins [G, B, NP] exponent bytes,
     LS byte first.  Returns [G, B, K] residues of a value <= 2N."""
     G, NP, T, k = tAlo.shape
     B = wins.shape[1]
     assert T == FB_TABLE and wins.shape[-1] == NP
-    assert B % batch_tile == 0
+    assert B % batch_tile == 0 and batch_tile % streams == 0
     wins = wins.astype(_U32)
 
     mm_args, mm_specs = _mm2_args_specs(consts)
@@ -1135,7 +1144,7 @@ def pallas_fb_modexp2(tAlo, tAhi, tBlo, tBhi, wins, consts, *,
                      memory_space=pltpu.VMEM),
     ]
     outA, outB = pl.pallas_call(
-        _fb_modexp2_kernel,
+        _fb_modexp2_kernel_streams(streams),
         out_shape=(
             jax.ShapeDtypeStruct((G, B, k), _U32),
             jax.ShapeDtypeStruct((G, B, k + 1), _U32),
