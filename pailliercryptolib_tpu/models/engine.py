@@ -79,10 +79,19 @@ def _perf(op: str):
 
     def deco(fn):
         @functools.wraps(fn)
-        def wrapper(self, x, *args, **kw):
-            size = x.size if isinstance(x, DevLimbs) else len(x)
+        def wrapper(self, *args, **kw):
+            x = args[0] if args else next(iter(kw.values()), None)
+            if isinstance(x, DevLimbs):
+                size = x.size
+            else:
+                size = getattr(x, "size", None)
+                if size is None:
+                    try:
+                        size = len(x)
+                    except TypeError:
+                        size = "?"
             with perf_timer(f"{op}[B={size}]"):
-                return fn(self, x, *args, **kw)
+                return fn(self, *args, **kw)
 
         return wrapper
 
@@ -160,13 +169,27 @@ def _resolve_backend(backend: Optional[str]) -> str:
 
 
 def _resolve_mesh(mesh):
-    """Engine mesh: explicit > context mesh when it spans >1 device."""
+    """Engine mesh: explicit > context mesh when it spans >1 device.
+
+    PAILLIER_TPU_FORCE_MESH=1 accepts a 1-device mesh too — sharding a
+    single chip is pure overhead in production, but it is the only way
+    to prove the shard_map-wrapped Pallas path compiles and runs on real
+    TPU hardware when just one chip is available
+    (benchmarks/mesh_evidence.py)."""
+    import os
+
+    force = os.environ.get("PAILLIER_TPU_FORCE_MESH") == "1"
+    min_dev = 1 if force else 2
     if mesh is not None:
-        return mesh if mesh.devices.size > 1 else None
+        return mesh if mesh.devices.size >= min_dev else None
     from ..parallel.context import peek_context
 
     ctx = peek_context()
-    if ctx is not None and ctx.mesh is not None and ctx.mesh.devices.size > 1:
+    if (
+        ctx is not None
+        and ctx.mesh is not None
+        and ctx.mesh.devices.size >= min_dev
+    ):
         return ctx.mesh
     return None
 
@@ -177,10 +200,10 @@ def _is_rns(backend: str) -> bool:
 
 def _width_backend(backend: str, mod_bits: int) -> str:
     """Downgrade an RNS backend choice to the width-generic CIOS kernel
-    when the modulus exceeds the 14-bit prime pool's reach (~5.7k bits;
-    ops/rns.rns_supported).  Hit by the public engine of 3072+ -bit keys
-    (n^2 up to 8192 bits); CRT decrypt's half-width p^2/q^2 stay on RNS
-    for every supported key size."""
+    when the modulus exceeds the prime pool's reach (~8.5k bits with the
+    12..14-bit pool; ops/rns.rns_supported).  The full supported key
+    envelope (200..4096-bit, n^2 to 8192 bits) now stays on the RNS/MXU
+    path — this gate only protects hypothetical wider moduli."""
     if not _is_rns(backend):
         return backend
     from ..ops.rns import rns_supported
@@ -449,16 +472,20 @@ class PublicEngine(_EngineCommon):
                 else:
                     r_b = self._up_arr(ints_to_bytes_le(r_p, NP))
                 res = self._stage(
-                    pops.rns_fb_modexp_stage, (1,), interpret=interp
+                    pops.rns_fb_modexp_stage, (1,),
+                    interpret=interp, mont_out=True,
                 )(planes, r_b, kc)
+                res_mont = True
             else:  # injected oversized exponents: variable-base fallback
                 r_w = self._up_arr(ints_to_windows(r_p, nw * 4))
                 hs_b = jnp.broadcast_to(self.hs_limbs, (len(m_p), self.L2))
                 res = self._stage(
                     pops.rns_modexp_stage, (0, 1), interpret=interp
                 )(hs_b, r_w, kc)
+                res_mont = False
             out = self._stage(
-                pops.encrypt_post_stage, (0, 1), interpret=interp
+                pops.encrypt_post_stage, (0, 1),
+                interpret=interp, res_mont=res_mont,
             )(res, m_a, self.n_limbs, conv, n2_n, n2_n0inv, n2_r2)
             return DevLimbs(out, size)
         r_w = self._up_arr(ints_to_windows(r_p, nw * 4))
@@ -533,8 +560,10 @@ class PublicEngine(_EngineCommon):
                     else:
                         r_b = self._up_arr(ints_to_bytes_le(r_p, NP))
                     res = self._stage(
-                        pops.rns_fb_modexp_stage, (1,), interpret=interp
+                        pops.rns_fb_modexp_stage, (1,),
+                        interpret=interp, mont_out=True,
                     )(planes, r_b, kc)
+                    res_mont = True
                 else:
                     nw = _round_windows(num_windows(ebits))
                     r_w = self._up_arr(ints_to_windows(r_p, nw * 4))
@@ -542,8 +571,10 @@ class PublicEngine(_EngineCommon):
                     res = self._stage(
                         pops.rns_modexp_stage, (0, 1), interpret=interp
                     )(hs_b, r_w, kc)
+                    res_mont = False
                 out = self._stage(
-                    pops.mul_res_post_stage, (0, 1), interpret=interp
+                    pops.mul_res_post_stage, (0, 1),
+                    interpret=interp, res_mont=res_mont,
                 )(ct_a, res, conv, n2_n)
                 return DevLimbs(out, size)
             nw = _round_windows(num_windows(ebits))
@@ -745,23 +776,23 @@ class PrivateEngine(_EngineCommon):
     def _rns_crt_ctxs(self):
         """The (p^2, q^2) RNSContext pair behind both constant layouts.
 
-        M_A >= 2^(15*Lp2+1) > R lets decrypt feed the Montgomery-folded
-        base (< R, ops/bigint.py mod_fold_combine) straight into the
-        kernel: the first to-Montgomery multiply contracts
-        R*N/M_A + 2N < 3N, so the CIOS canonicalizing multiply the fold
-        otherwise needs disappears."""
+        in_limbs spans the FULL n^2-width ciphertext (2*Lp2): the Cin
+        weights (2^(15 l) mod h^2) mod m fold ct into each residue
+        system inside the kernel's input-conversion matmul, so decrypt
+        has no separate "ct mod p^2" stage.  The represented value is
+        V < 2*Lp2 * 2^15 * N; product_bits sizes M_A ≥ 2^26 * N above
+        it so the first to-Montgomery multiply contracts
+        V*N/M_A + 2N < 3N."""
         if getattr(self, "_rns_crt_ctx_pair", None) is None:
-            from ..ops.rns import GUARD_FACTOR, RNSContext
+            from ..ops.rns import RNSContext
 
-            bits = max(
-                2 * self._pbits + GUARD_FACTOR.bit_length(),
-                LIMB_BITS * self.Lp2 + 1,
-            )
+            in_limbs = 2 * self.Lp2
+            bits = 2 * self._pbits + LIMB_BITS + in_limbs.bit_length() + 1
             cp = RNSContext.create(
-                self._p * self._p, in_limbs=self.Lp2, product_bits=bits
+                self._p * self._p, in_limbs=in_limbs, product_bits=bits
             )
             cq = RNSContext.create(
-                self._q * self._q, in_limbs=self.Lp2, product_bits=bits
+                self._q * self._q, in_limbs=in_limbs, product_bits=bits
             )
             self._rns_crt_ctx_pair = (cp, cq)
         return self._rns_crt_ctx_pair
@@ -769,19 +800,33 @@ class PrivateEngine(_EngineCommon):
     @property
     def rns_crt(self):
         """(p^2, q^2) RNS machinery for CRT decrypt: (kernel consts, conv
-        consts).  GROUPED layout (stack_group_consts2) with the
-        f32-reciprocal reduction — the fastest measured combination at
-        full batch on a v5e (benchmarks/expt_redmu.py: grouped+f32 31.7
-        ms/2048 vs folded+f32 39.4 and grouped+Barrett 34.1; the CRT fold
-        pays an extra ~2.4 ms in per-mont_mul selector broadcasts that
-        its lower lane padding does not buy back)."""
+        consts).  Default is the CRT-FOLDED lane layout
+        (fold_group_consts2 shared_input + the f32-reciprocal
+        reduction): both residue systems share every squaring on one
+        kernel step's lane axis.  Round 4 measured folded BEHIND grouped
+        (39.4 vs 31.7 ms/2048) because its per-group alpha broadcasts
+        were Precision.HIGHEST f32 selector matmuls; those are now plain
+        lane broadcasts (_group_bcast).  PAILLIER_TPU_DECRYPT_LAYOUT=
+        "grouped" keeps the round-4 grouped configuration for A/B
+        measurement (benchmarks/expt_redmu.py)."""
         if self._rns_crt is None:
+            import os
+
             import jax as _jax
 
-            from ..ops.pallas_rns2 import stack_group_consts2
+            from ..ops.pallas_rns2 import (
+                fold_group_consts2,
+                stack_group_consts2,
+            )
 
             cp, cq = self._rns_crt_ctxs()
-            kc2 = stack_group_consts2([cp, cq], f32_mu=True)
+            layout = os.environ.get("PAILLIER_TPU_DECRYPT_LAYOUT", "folded")
+            if layout == "grouped":
+                kc2 = stack_group_consts2([cp, cq], f32_mu=True)
+            else:
+                kc2 = fold_group_consts2(
+                    [cp, cq], f32_mu=True, shared_input=True
+                )
             conv2 = _jax.tree.map(
                 lambda a, b: jnp.stack([jnp.asarray(a), jnp.asarray(b)]),
                 cp.device_consts(), cq.device_consts(),
@@ -791,20 +836,24 @@ class PrivateEngine(_EngineCommon):
 
     @property
     def rns_crt_grouped(self):
-        """GROUPED (stack_group_consts2) layout of the same (p^2, q^2)
-        machinery, for the two-group grid kernel (pallas_rns_modexp2) —
-        used by profiling/sweep tooling that compares the layouts."""
-        import jax as _jax
+        """Integer-Barrett flavor of the same GROUPED (p^2, q^2) constant
+        set as :attr:`rns_crt` (which uses the f32-reciprocal reduction;
+        the layout is identical — the flavors differ only in ``mu``'s
+        dtype, ops/pallas_rns2._red_mu).  Used by profiling/sweep tooling
+        that compares the reduction flavors; cached like rns_crt."""
+        if getattr(self, "_rns_crt_barrett", None) is None:
+            import jax as _jax
 
-        from ..ops.pallas_rns2 import stack_group_consts2
+            from ..ops.pallas_rns2 import stack_group_consts2
 
-        cp, cq = self._rns_crt_ctxs()
-        kc2 = stack_group_consts2([cp, cq])
-        conv2 = _jax.tree.map(
-            lambda a, b: jnp.stack([jnp.asarray(a), jnp.asarray(b)]),
-            cp.device_consts(), cq.device_consts(),
-        )
-        return (kc2, conv2)
+            cp, cq = self._rns_crt_ctxs()
+            kc2 = stack_group_consts2([cp, cq])
+            conv2 = _jax.tree.map(
+                lambda a, b: jnp.stack([jnp.asarray(a), jnp.asarray(b)]),
+                cp.device_consts(), cq.device_consts(),
+            )
+            self._rns_crt_barrett = (kc2, conv2)
+        return self._rns_crt_barrett
 
     @property
     def rns_raw(self):
@@ -853,7 +902,7 @@ class PrivateEngine(_EngineCommon):
                 interpret=_rns_interp(self.backend),
             )(
                 ct_a,
-                self.sq_n, self.sq_n0inv, self.sq_r2,
+                self.sq_n,
                 self.exp_wins, self.hensel, self.hfun,
                 self.pq_n, self.pq_n0inv, self.pq_r2,
                 self.pinv_q, self.p_limbs,

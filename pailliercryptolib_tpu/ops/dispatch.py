@@ -63,11 +63,14 @@ WORKLOAD_SIZE_THRESHOLD = 128
 #: The reference's QAT-tuned values are encrypt 0.25 / decrypt 0.12 /
 #: multiply 0.18 (ipcl/utils/common.hpp:20-23) because its accelerator
 #: loses to AVX512 on most of the batch; on TPU the fused kernel wins at
-#: every size, so the tuned optimum is 1.0 across the board.  MEASURED,
-#: not assumed: benchmarks/bench_hybrid.py sweep on a v5e
-#: (benchmarks/results/hybrid_sweep_v5e.jsonl) — any encrypt ratio < 1
-#: is ~20x slower (the XLA tail dominates at ~250 ms/batch), and
-#: decrypt/multiply never beat 1.0 at any batch size.
+#: every measured point, so the tuned optimum is 1.0 across the board.
+#: MEASURED, not assumed: benchmarks/bench_hybrid.py sweeps on a v5e
+#: (benchmarks/results/hybrid_sweep_v5e.jsonl) cover 1024-bit keys at
+#: batches {16, 256} and 2048-bit keys at batches {16, 256, 2048}, ratios
+#: {0, 0.5, 0.9, 1}: every encrypt/decrypt/multiply ratio < 1 measured
+#: slower than 1.0 at every covered (size, batch) point — the XLA tail
+#: dominates any split (e.g. 1024-bit encrypt at ratio 0.9 is ~20x the
+#: ratio-1.0 time).
 OPTIMAL_RATIOS = {"encrypt": 1.0, "decrypt": 1.0, "multiply": 1.0}
 HYBRID_RATIO_FULL = 1.0
 
@@ -145,9 +148,14 @@ def default_backend() -> str:
     PAILLIER_TPU_BACKEND env var it loads) > device autodetect — the
     analog of the reference's IPCL_DISABLE_AVX512IFMA-style runtime
     overrides (ipcl/include/ipcl/utils/util.hpp:48-64)."""
+    import os
+
     from ..utils.config import get_config
 
-    forced = get_config().backend
+    # Config snapshots the environment once at first access; re-read the
+    # env var when no backend is pinned so late os.environ mutation
+    # (common in tests) still takes effect per call.
+    forced = get_config().backend or os.environ.get("PAILLIER_TPU_BACKEND")
     if forced:
         return forced
     try:

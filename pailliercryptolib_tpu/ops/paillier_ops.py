@@ -255,50 +255,45 @@ def _cios_backend(interpret):
 @_rjit
 def decrypt_crt_rns_op(
     ct,
-    sq_n, sq_n0inv, sq_r2,
+    sq_n,  # [2, Lp2]   p^2 / q^2 limbs (finalize conditional subtracts)
     exp_wins,  # [2, 1, NW]
     hensel, hfun,
     pq_n, pq_n0inv, pq_r2,
     pinv_q, p_limbs,
-    kc2,  # grouped (G=2) RNS kernel consts for p^2 / q^2
+    kc2,  # RNS kernel consts for p^2 / q^2 (folded or grouped layout)
     conv2,  # grouped conversion consts ([2, ...] stacked device_consts)
     interpret=False,
 ):
-    """CRT decrypt with both half-width modexp batches on the RNS kernel."""
+    """CRT decrypt with both half-width modexp batches on the RNS kernel.
+
+    The kernel consumes the FULL n^2-width ciphertext: each group's Cin
+    weights are (2^(15 l) mod h^2) mod m (ops/rns.py RNSContext.Cin), so
+    the reference's per-element "ct mod p^2 / q^2" loop
+    (ipcl/pri_key.cpp:122-130) IS the input-conversion matmul — the
+    separate CIOS fold stage that cost ~4 ms/2048 in round 4 no longer
+    exists.  With FOLDED constants (fold_group_consts2 shared_input,
+    the default from engine.rns_crt) both residue systems ride the lane
+    axis of one kernel step, so every squaring serves both CRT halves;
+    grouped constants fall back to the two-group grid."""
     Lp = pq_n.shape[-1]
     Lp2 = sq_n.shape[-1]
     cios = _cios_backend(interpret)
+    B = ct.shape[0]
+    bt = 256 if B % 256 == 0 else 128
 
-    # stage 1: fold ct into both residue systems — ONE Montgomery product
-    # of the high half plus a combine.  The result is < R (not < h^2); the
-    # kernel's RNS base product is sized above R (engine.rns_crt), so the
-    # first to-Montgomery multiply absorbs the excess and no CIOS
-    # canonicalizing multiply is needed.
-    two = sq_n.shape[0]
-    x_hi = jnp.broadcast_to(ct[None, :, Lp2:], (two,) + ct[:, Lp2:].shape)
-    x_lo = jnp.broadcast_to(ct[None, :, :Lp2], (two,) + ct[:, :Lp2].shape)
-    folded = mont_raw_backend_grouped(x_hi, sq_r2[:, None, :], sq_n, sq_n0inv, cios)
-    bases = jax.vmap(mod_fold_combine, in_axes=(0, 0, 0))(folded, x_lo, sq_n)
-
-    # stage 2: RNS modexp (limbs in, residues out); the exponents
-    # (p-1, q-1) are shared by every row, so the SMEM shared-window kernel
-    # applies (no per-row window selects).  With FOLDED constants
-    # (fold_group_consts2, the default from engine.rns_crt) both residue
-    # systems ride the lane axis of one kernel step; grouped constants
-    # fall back to the two-group grid.
-    if "SelB" in kc2:
+    if "maskB" in kc2:  # folded lane layout, shared full-width input
         k = kc2["sig0"].shape[-1] // 2
-        base_f = jnp.concatenate([bases[0], bases[1]], axis=-1)  # [B, 2L]
         res_f = pallas_rns_modexp2f(
-            base_f, exp_wins[:, 0], kc2, streams=4, interpret=interpret
+            ct, exp_wins[:, 0], kc2, batch_tile=bt,
+            streams=8 if bt == 256 else 4, interpret=interpret,
         )
         res_rns = unfold_rns_out(res_f, k)
     else:
         # 256-row tiles with 8 streams measure ~6% faster than 128/4 at
         # full batch on a v5e (benchmarks/results: 29.5 vs 31.3 ms/2048);
         # batches only tile-aligned to 128 keep the 128/4 configuration.
-        B = bases.shape[1]
-        bt = 256 if B % 256 == 0 else 128
+        two = sq_n.shape[0]
+        bases = jnp.broadcast_to(ct[None], (two,) + ct.shape)
         res_rns = pallas_rns_modexp2(
             bases, exp_wins[:, 0], kc2, shared=True,
             streams=8 if bt == 256 else 4, batch_tile=bt,
@@ -376,10 +371,12 @@ def fb_table_stage(g_limbs, kc, conv, interpret=False):
     return fb_digit_planes2(tabA, tabB)
 
 
-@_rjit
-def rns_fb_modexp_stage(planes, win_bytes, kc, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "mont_out"))
+def rns_fb_modexp_stage(planes, win_bytes, kc, interpret=False,
+                        mont_out=False):
     """Fixed-base modexp: exponent bytes [B, NP] (LS first) -> residues
-    [B, K] of a representative <= 2N of base^e mod N.
+    [B, K] of a representative <= 2N of base^e mod N (or of
+    base^e * M_A <= 3N when ``mont_out`` — see pallas_fb_modexp2).
 
     256-row tiles with 4 streams measure ~5% faster than 128/2 at full
     batch on a v5e (6.72 vs 7.08 ms/2048); 128-aligned batches keep the
@@ -388,7 +385,7 @@ def rns_fb_modexp_stage(planes, win_bytes, kc, interpret=False):
     bt = 256 if B % 256 == 0 else 128
     return pallas_fb_modexp2(
         *planes, win_bytes[None], kc, interpret=interpret,
-        batch_tile=bt, streams=4 if bt == 256 else 2,
+        batch_tile=bt, streams=4 if bt == 256 else 2, mont_out=mont_out,
     )[0]
 
 
@@ -397,37 +394,47 @@ def rns_finalize_stage(res, conv, n_limbs, out_limbs):
     return _rns_finalize(res, conv, n_limbs, out_limbs)
 
 
-@_rjit
+@functools.partial(jax.jit, static_argnames=("interpret", "res_mont"))
 def encrypt_post_stage(
-    res, m_a, n_limbs, conv, n2_n, n2_n0inv, n2_r2, interpret=False
+    res, m_a, n_limbs, conv, n2_n, n2_n0inv, n2_r2, interpret=False,
+    res_mont=False,
 ):
     """Encrypt tail in ONE dispatch: plaintext embedding (n*m+1) and the
     obfuscation multiply, entirely in RNS — the obfuscator arrives as
-    residues from the modexp kernel, so multiplying in residue space (two
-    XLA-level RNS Montgomery products on the MXU) replaces the
+    residues from the modexp kernel, so multiplying in residue space
+    (XLA-level RNS Montgomery products on the MXU) replaces the
     residue->limb conversion AND the serial CIOS modular multiply
-    (~5 ms/2048-batch at 4096-bit)."""
+    (~5 ms/2048-batch at 4096-bit).  With ``res_mont`` the kernel left
+    the obfuscator in Montgomery form (mont_out), so the obfuscation
+    multiply doubles as the leave-Montgomery multiply: ONE product."""
     from .rns import limbs_to_rns, rns_mont_mul
 
     L2 = n2_n.shape[-1]
     raw = _raw_encrypt(m_a, n_limbs, L2)  # < n^2 = N, digits <= 2^15
     raw_res = limbs_to_rns(raw, conv)
-    t = rns_mont_mul(raw_res, conv["mont_sq"][None, :], conv)  # raw*MA
-    ct_res = rns_mont_mul(t, res, conv)  # raw*obf, value < 3N
+    if res_mont:
+        ct_res = rns_mont_mul(raw_res, res, conv)  # raw*obf, value < 3N
+    else:
+        t = rns_mont_mul(raw_res, conv["mont_sq"][None, :], conv)  # raw*MA
+        ct_res = rns_mont_mul(t, res, conv)  # raw*obf, value < 3N
     return _rns_finalize(ct_res, conv, n2_n, L2)
 
 
-@_rjit
-def mul_res_post_stage(ct, res, conv, n2_n, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "res_mont"))
+def mul_res_post_stage(ct, res, conv, n2_n, interpret=False, res_mont=False):
     """ct (limbs) * res (RNS residues straight from a modexp kernel)
     mod n^2 — the obfuscation multiply with the limb->RNS conversion of
-    the second operand already paid (used by apply_obfuscator)."""
+    the second operand already paid (used by apply_obfuscator).
+    ``res_mont`` as in encrypt_post_stage."""
     from .rns import limbs_to_rns, rns_mont_mul
 
     L2 = n2_n.shape[-1]
     ra = limbs_to_rns(ct, conv)
-    t = rns_mont_mul(ra, conv["mont_sq"][None, :], conv)  # ct*MA
-    out = rns_mont_mul(t, res, conv)  # ct*obf, value < 3N
+    if res_mont:
+        out = rns_mont_mul(ra, res, conv)  # ct*obf, value < 3N
+    else:
+        t = rns_mont_mul(ra, conv["mont_sq"][None, :], conv)  # ct*MA
+        out = rns_mont_mul(t, res, conv)  # ct*obf, value < 3N
     return _rns_finalize(out, conv, n2_n, L2)
 
 

@@ -38,10 +38,13 @@ VPU op count.  Techniques, in decreasing order of measured impact:
    16-way vector select and the window roll disappear.
 
 Numerical contracts (checked in tests/test_rns_backend.py against pow()):
-moduli in (2^13, 2^14); residues canonical (< m) between multiplies;
+moduli in (2^12, 2^14); residues canonical (< m) between multiplies;
 fused Barrett inputs < 2^29.7 with quotient error < 8 (three
-conditional-subtract layers: 4m, 2m, m handle < 8m); represented values
-< 3N.
+conditional-subtract layers: 4m, 2m, m handle < 8m) — the integer
+flavor is only valid for moduli > 2^13, so wide-pool constant sets
+(any modulus < 2^13, reached by 6k+ -bit N) force the f32-reciprocal
+flavor whose one-subtract bound holds for any m > 2^12; represented
+values < 3N.
 
 Reference anchor: this is the TPU replacement for the reference's entire
 modexp acceleration stack (ipcl/mod_exp.cpp:446-533 mbx_exp_mb8 and the QAT
@@ -70,6 +73,10 @@ _MASK14 = (1 << MOD_BITS) - 1
 
 FB_WINDOW_BITS = 8
 FB_TABLE = 1 << FB_WINDOW_BITS
+
+#: Kawamura alpha-column weight scale: floor(2^26 / a_i) — see
+#: _per_ctx_consts2 for why 26 and not 27.
+ALPHA_W_BITS = 26
 
 
 def _red_mu(v, m, mu, layers=3):
@@ -110,10 +117,10 @@ def _red_mu(v, m, mu, layers=3):
 
 
 def _inv_f32(mods):
-    """The f32 reciprocal rows for _red_mu's f32 flavor: (1 - 2^-20)/m."""
-    import numpy as np
+    """The f32 reciprocal rows for _red_mu's f32 flavor (rns.inv_f32)."""
+    from .rns import inv_f32
 
-    return ((1.0 - 2.0**-20) / mods.astype(np.float64)).astype(np.float32)
+    return inv_f32(mods)
 
 
 def _mulmod(x, y, m, mu):
@@ -136,24 +143,20 @@ def _mm8(a, b):
     )
 
 
-def _mmf32(a, b):
-    """f32 matmul (exact for integer operands < 2^24): used for the tiny
-    [Bt, G] @ [G, lanes] group-selector broadcasts in the folded kernel.
+def _group_bcast(vals, mask):
+    """Broadcast per-group columns [Bt, 2] (u32) to their group's lanes:
+    lanes with ``mask`` != 0 take column 0, the rest column 1.
 
-    Correctness REQUIRES more than 1-pass bf16 precision: the alpha
-    values being broadcast reach 2^14, beyond bf16's 8-bit mantissa, so
-    a single-pass bf16 lowering would silently corrupt results.
-    Precision.HIGHEST pins an exact lowering (3-pass bf16 would also be
-    exact for the 0/1 selector weights, but Mosaic only lowers DEFAULT
-    and HIGHEST).  The pin costs ~1-4 ms/2048-batch vs the unpinned
-    DEFAULT-that-happened-to-be-exact — one reason the folded layout now
-    measures behind the grouped one at full batch (benchmarks/
-    expt_redmu.py), which is why decrypt defaults to grouped consts."""
-    return jax.lax.dot_general(
-        a, b, (((1,), (0,)), ((), ())),
-        preferred_element_type=_F32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    Replaces the v3 f32 selector matmuls ([Bt, 2] @ [2, lanes] pinned to
+    Precision.HIGHEST for exactness, which cost ~2.4 ms/2048-batch and
+    made the folded layout measure BEHIND grouped in round 4): two value
+    lane-broadcasts plus one select are plain VPU ops with no precision
+    caveat."""
+    h = vals.shape[0]
+    w = mask.shape[-1]
+    a0 = jnp.broadcast_to(vals[:, 0:1], (h, w))
+    a1 = jnp.broadcast_to(vals[:, 1:2], (h, w))
+    return jnp.where(mask != 0, a0, a1)
 
 
 def _to_u32(xf):
@@ -244,12 +247,15 @@ def _per_ctx_consts2(c, f32_mu=False):
     negMA = np.array([(-c.MA) % int(m) for m in Bx], np.uint64)
     cAlpha = (negMA * NMAinvW) % Bx
     # T1p = T1 * (N * MAinv * w) mod m_j   [k, k+1], plus one extra
-    # column of Kawamura alpha weights floor(2^27 / a_i): the alpha
-    # fraction sum rides the SAME base-extension matmul (its raw
-    # column is combined in f32 and floored; quantization error
-    # <= k * 2^-13 and f32 error ~2^-12 both sit inside ALPHA_MARGIN)
+    # column of Kawamura alpha weights floor(2^26 / a_i): the alpha
+    # fraction sum rides the SAME base-extension matmul.  2^26 (not
+    # 2^27) keeps the weight < 2^14 for wide pools (a_i down to 2^12),
+    # so its 7-bit int8 digit planes stay valid; the coarser
+    # quantization error <= k * 2^-12 plus ALPHA_MARGIN still undershoots
+    # by at most 1 for k <= ~3800 (both errors are one-sided downward,
+    # so the estimate can never overshoot).
     T1p = (c.T1.astype(np.uint64) * NMAinvW[None, :]) % Bx[None, :]
-    aw = ((np.uint64(1) << 27) // A).astype(np.uint64)
+    aw = ((np.uint64(1) << ALPHA_W_BITS) // A).astype(np.uint64)
     T1p = np.concatenate([T1p, aw[:, None]], axis=1)  # [k, k+2]
     # T2 extended with the m_r column scaled by M_B^{-1} mod m_r
     # (folds the alpha2 = diff * MBinv multiply into the weights)
@@ -327,9 +333,14 @@ def stack_group_consts2(ctxs, f32_mu=False) -> dict:
     pre-multiplied by w = [(M_B/b_j)^{-1} mod b_j | M_B^{-1} mod m_r]
     (the scaled-B carry, see module docstring); ``wvec`` is kept in the
     dict for host-side scaling of extra kernel inputs (fixed-base g).
-    ``f32_mu`` selects _red_mu's f32-reciprocal flavor (see there)."""
+    ``f32_mu`` selects _red_mu's f32-reciprocal flavor (see there);
+    wide-pool contexts (rns.is_wide_pool: any modulus < 2^13) force it —
+    the integer-Barrett error bound does not hold for them."""
     import numpy as np
 
+    from .rns import is_wide_pool
+
+    f32_mu = f32_mu or any(is_wide_pool(c) for c in ctxs)
     k = ctxs[0].k
     assert all(c.k == k for c in ctxs)
     ds = [_per_ctx_consts2(c, f32_mu=f32_mu) for c in ctxs]
@@ -339,16 +350,17 @@ def stack_group_consts2(ctxs, f32_mu=False) -> dict:
     return out
 
 
-def fold_group_consts2(ctxs, f32_mu=False) -> dict:
+def fold_group_consts2(ctxs, f32_mu=False, shared_input=False) -> dict:
     """Fold TWO same-k RNSContexts (CRT's p^2 / q^2) into ONE set of
     kernel constants whose LANE axis carries both groups side by side.
 
     Folding turns the G=2 grid axis of the grouped kernel into lane
     concatenation: a [Bt, 2k] / [Bt, 2k+2] elementwise op covers both
-    residue systems at once, so the ~40% lane padding the half-width
-    groups pay individually (k ~ 150 lanes pads to 256) collapses to
-    ~20% (2k ~ 300 pads to 384), and every [Bt, 1] alpha-column op is
-    shared.  Layout:
+    residue systems at once — every squaring in the exponentiation
+    serves both CRT halves, halving the VPU issue per represented
+    mont_mul, and the ~40% lane padding the half-width groups pay
+    individually (k ~ 150 lanes pads to 256) collapses to ~20%
+    (2k ~ 300 pads to 384).  Layout:
 
       A side   [A_p(k) | A_q(k)]                           (2k lanes)
       B side   [B_p(k) | B_q(k) | mr_p | mr_q]             (2k+2 lanes)
@@ -356,15 +368,23 @@ def fold_group_consts2(ctxs, f32_mu=False) -> dict:
                [B_p | B_q | mr_p | mr_q | alpha_p | alpha_q]
       T2f      [2k, 2k+2]  block-diagonal, output columns
                [A_p | A_q | mr_p | mr_q]
-      Cin      [2L, 2k(+2)] block-diagonal (input: p-limbs | q-limbs)
+      Cin      [2L, 2k(+2)] block-diagonal (input rows:
+               p-limbs | q-limbs), or [L, 2k(+2)] row-shared when
+               ``shared_input`` (one limb vector feeds both groups —
+               the CRT-decrypt configuration, where the full n^2-width
+               ciphertext enters both half-width systems and the
+               mod-p^2/q^2 folds ride the Cin weights)
 
     Group-scoped scalars (Kawamura alpha, Shenoy alpha2) become [Bt, 2]
-    columns broadcast to their group's lanes via exact f32 selector
-    matmuls (SelA/SelB); the two shared exponents select table rows via
-    two scalar reads + a per-lane mask (maskA/maskB).
+    columns broadcast to their group's lanes (_group_bcast); the two
+    shared exponents select table rows via two scalar reads + the same
+    per-lane masks (maskA/maskB).
     """
     import numpy as np
 
+    from .rns import is_wide_pool
+
+    f32_mu = f32_mu or any(is_wide_pool(c) for c in ctxs)
     assert len(ctxs) == 2 and ctxs[0].k == ctxs[1].k
     k = ctxs[0].k
     d0 = _per_ctx_consts2(ctxs[0], f32_mu=f32_mu)
@@ -418,17 +438,8 @@ def fold_group_consts2(ctxs, f32_mu=False) -> dict:
 
     out["T1lo"], out["T1hi"] = fold_T1("T1lo"), fold_T1("T1hi")
     out["T2lo"], out["T2hi"] = fold_T2("T2lo"), fold_T2("T2hi")
-    # group-selector matmul weights (0/1; exact in f32 for values < 2^24)
-    SelA = np.zeros((2, k2), np.float32)
-    SelA[0, :k] = 1.0
-    SelA[1, k:] = 1.0
-    SelB = np.zeros((2, k2 + 2), np.float32)
-    SelB[0, :k] = 1.0
-    SelB[1, k:k2] = 1.0
-    SelB[0, k2] = 1.0
-    SelB[1, k2 + 1] = 1.0
-    out["SelA"], out["SelB"] = SelA, SelB
-    # per-lane group masks for the two-exponent table select
+    # per-lane group masks: the two-exponent table select and the
+    # alpha/alpha2 group broadcasts (_group_bcast)
     maskA = np.zeros((k2,), np.uint32)
     maskA[:k] = 1
     maskB = np.zeros((k2 + 2,), np.uint32)
@@ -436,16 +447,28 @@ def fold_group_consts2(ctxs, f32_mu=False) -> dict:
     maskB[k2] = 1
     out["maskA"], out["maskB"] = maskA, maskB
 
-    # block-diagonal input conversions: rows = [p-limbs | q-limbs]
     L = d0["CinA"].shape[0]
-    CinA = np.zeros((2 * L, k2), np.uint32)
-    CinA[:L, :k] = d0["CinA"]
-    CinA[L:, k:] = d1["CinA"]
-    CinB = np.zeros((2 * L, k2 + 2), np.uint32)
-    CinB[:L, :k] = d0["CinB"][:, :k]
-    CinB[:L, k2] = d0["CinB"][:, k]
-    CinB[L:, k:k2] = d1["CinB"][:, :k]
-    CinB[L:, k2 + 1] = d1["CinB"][:, k]
+    if shared_input:
+        # ONE shared limb vector feeds both groups (CRT decrypt: the
+        # full n^2-width ciphertext, whose mod-p^2 / mod-q^2 folds ride
+        # the per-group Cin weights — ops/rns.py RNSContext.Cin): rows
+        # are the shared limbs, columns the per-group lanes.
+        CinA = np.concatenate([d0["CinA"], d1["CinA"]], axis=1)
+        CinB = np.zeros((L, k2 + 2), np.uint32)
+        CinB[:, :k] = d0["CinB"][:, :k]
+        CinB[:, k:k2] = d1["CinB"][:, :k]
+        CinB[:, k2] = d0["CinB"][:, k]
+        CinB[:, k2 + 1] = d1["CinB"][:, k]
+    else:
+        # block-diagonal input conversions: rows = [p-limbs | q-limbs]
+        CinA = np.zeros((2 * L, k2), np.uint32)
+        CinA[:L, :k] = d0["CinA"]
+        CinA[L:, k:] = d1["CinA"]
+        CinB = np.zeros((2 * L, k2 + 2), np.uint32)
+        CinB[:L, :k] = d0["CinB"][:, :k]
+        CinB[:L, k2] = d0["CinB"][:, k]
+        CinB[L:, k:k2] = d1["CinB"][:, :k]
+        CinB[L:, k2 + 1] = d1["CinB"][:, k]
     out["CinA"], out["CinB"] = CinA, CinB
 
     return {key: jnp.asarray(a[None]) for key, a in out.items()}
@@ -504,7 +527,7 @@ def _mm2_cref(refs):
 _MM2F_KEYS = (
     "mrv", "murv", "twomrv", "modsA", "muA", "modsBx", "muBx", "sig0",
     "sig1", "c0", "c1", "cAlpha", "c28B", "c21B", "c28Ar", "c21Ar",
-    "MB_mod_A", "padA", "winv", "maskA", "maskB", "SelA", "SelB",
+    "MB_mod_A", "padA", "winv", "maskA", "maskB",
     "T1lo", "T1hi", "T2lo", "T2hi", "sqA", "sqB", "oneA", "oneB", "poneB",
 )
 _MM2F_NREFS = len(_MM2F_KEYS)
@@ -531,7 +554,7 @@ def _make_mont_mul2(c, streams=1):
     overlap one stream's MXU base-extension with another's VPU reductions
     (within a single multiply the dependence chain forbids any overlap)."""
     k = c["sig0"].shape[-1]  # total A lanes (2k when folded)
-    folded = "SelB" in c
+    folded = "maskB" in c
     if folded:
         m_r, mu_r = c["mrv"], c["murv"]  # [1, 2]
         two_mr = c["twomrv"]
@@ -574,12 +597,11 @@ def _make_mont_mul2(c, streams=1):
                 ll[:, kp1:].astype(_F32)
                 + mid[:, kp1:].astype(_F32) * float(1 << DIGIT_BITS)
                 + hh[:, kp1:].astype(_F32) * float(1 << (2 * DIGIT_BITS))
-            ) * (1.0 / (1 << 27))
+            ) * (1.0 / (1 << ALPHA_W_BITS))
             a_f = jnp.maximum(jnp.floor(af - ALPHA_MARGIN), 0.0)
             if folded:
-                # [Bt, 2] -> per-lane alpha via the group selector
-                # (alpha < k < 2^24: exact in f32)
-                alphas.append(_to_u32(_mmf32(a_f, c["SelB"])))
+                # [Bt, 2] -> per-lane alpha via group broadcasts
+                alphas.append(_group_bcast(_to_u32(a_f), c["maskB"]))
             else:
                 alphas.append(_to_u32(a_f))
         # z_B = (s + q_hat N) MAinv w mod b, all terms fused: < 2^29.7
@@ -601,8 +623,7 @@ def _make_mont_mul2(c, streams=1):
                 tA[:, k:] + two_mr - zB[:, k:], m_r, mu_r
             )  # [Bt, G], exact
             if folded:
-                a2 = _to_u32(_mmf32(alpha2.astype(_I32).astype(_F32),
-                                    c["SelA"]))
+                a2 = _group_bcast(alpha2, c["maskA"])
             else:
                 a2 = alpha2
             rA = _red_mu(
@@ -661,7 +682,7 @@ def _modexp2_body_streams(c, refs, streams):
      tabA_ref, tabB_ref) = refs
     k = c["sig0"].shape[-1]
     kb = c["oneB"].shape[-1]  # k+1 grouped, k+2 folded
-    folded = "SelB" in c
+    folded = "maskB" in c
     Bt = base_ref.shape[-2]
     h = Bt // streams
     mm = _make_mont_mul2(c, streams=max(streams, 2))  # always list form
@@ -1054,14 +1075,14 @@ def fb_digit_planes2(tabA, tabB):
 
 
 @functools.lru_cache(maxsize=None)
-def _fb_modexp2_kernel_streams(streams):
+def _fb_modexp2_kernel_streams(streams, mont_out=False):
     def kernel(*refs):
-        _fb_modexp2_body(streams, *refs)
+        _fb_modexp2_body(streams, mont_out, *refs)
 
     return kernel
 
 
-def _fb_modexp2_body(streams, *refs):
+def _fb_modexp2_body(streams, mont_out, *refs):
     c = _mm2_cref(refs[:_MM2_NREFS])
     (tAlo_ref, tAhi_ref, tBlo_ref, tBhi_ref, win_ref, outA_ref, outB_ref,
      accA_ref, accB_ref, win_scr) = refs[_MM2_NREFS:]
@@ -1105,24 +1126,40 @@ def _fb_modexp2_body(streams, *refs):
 
     @pl.when(i == NP - 1)
     def _():
-        pA = jnp.ones((1, k), _U32)
-        pB = c["poneB"]
-        outs = mm([(accA_ref[r], accB_ref[r]) for r in rows],
-                  [(pA, pB)] * streams)
-        for s, r in enumerate(rows):
-            outA_ref[0, r] = outs[s][0]
-            outB_ref[0, r] = _mulmod(
-                outs[s][1], c["winv"], c["modsBx"], c["muBx"]
-            )
+        if mont_out:
+            # stay in the Montgomery domain (value <= 3N): the caller's
+            # obfuscation multiply IS the leave-Montgomery multiply, so
+            # encrypt_post needs ONE rns_mont_mul instead of two.  Only
+            # the B-side unscale (z -> r) remains.
+            for s, r in enumerate(rows):
+                outA_ref[0, r] = accA_ref[r]
+                outB_ref[0, r] = _mulmod(
+                    accB_ref[r], c["winv"], c["modsBx"], c["muBx"]
+                )
+        else:
+            pA = jnp.ones((1, k), _U32)
+            pB = c["poneB"]
+            outs = mm([(accA_ref[r], accB_ref[r]) for r in rows],
+                      [(pA, pB)] * streams)
+            for s, r in enumerate(rows):
+                outA_ref[0, r] = outs[s][0]
+                outB_ref[0, r] = _mulmod(
+                    outs[s][1], c["winv"], c["modsBx"], c["muBx"]
+                )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "batch_tile", "streams")
+    jax.jit,
+    static_argnames=("interpret", "batch_tile", "streams", "mont_out"),
 )
 def pallas_fb_modexp2(tAlo, tAhi, tBlo, tBhi, wins, consts, *,
-                      interpret=False, batch_tile=BATCH_TILE, streams=2):
+                      interpret=False, batch_tile=BATCH_TILE, streams=2,
+                      mont_out=False):
     """base^e with a precomputed table; wins [G, B, NP] exponent bytes,
-    LS byte first.  Returns [G, B, K] residues of a value <= 2N."""
+    LS byte first.  Returns [G, B, K] residues of a value <= 2N — or,
+    with ``mont_out``, of base^e * M_A mod N (<= 3N, Montgomery form;
+    the caller's next rns_mont_mul doubles as the leave-Montgomery
+    multiply)."""
     G, NP, T, k = tAlo.shape
     B = wins.shape[1]
     assert T == FB_TABLE and wins.shape[-1] == NP
@@ -1144,7 +1181,7 @@ def pallas_fb_modexp2(tAlo, tAhi, tBlo, tBhi, wins, consts, *,
                      memory_space=pltpu.VMEM),
     ]
     outA, outB = pl.pallas_call(
-        _fb_modexp2_kernel_streams(streams),
+        _fb_modexp2_kernel_streams(streams, mont_out),
         out_shape=(
             jax.ShapeDtypeStruct((G, B, k), _U32),
             jax.ShapeDtypeStruct((G, B, k + 1), _U32),

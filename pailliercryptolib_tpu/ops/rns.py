@@ -56,11 +56,22 @@ _U32 = jnp.uint32
 _F32 = jnp.float32
 _BF16 = jnp.bfloat16
 
-MOD_BITS = 14  # moduli are primes in (2^13, 2^14)
+MOD_BITS = 14  # moduli are primes < 2^14 (pool spans (2^12, 2^14))
 DIGIT_BITS = 7  # matmul operands split into 7-bit digits (exact in bf16)
 DIGIT_MASK = (1 << DIGIT_BITS) - 1
 GUARD_FACTOR = 9  # M_A, M_B >= GUARD_FACTOR * N  (supports the < 3N invariant)
 ALPHA_MARGIN = 1.0 / 16.0  # Kawamura floor-estimate safety offset
+
+#: Pool floor.  create() allocates largest-first, so a context only
+#: reaches below 2^13 for very wide moduli (>= ~5.9k bits — 3072/4096-bit
+#: keys' n^2; the reference's own QAT envelope reaches 8192-bit operands,
+#: module/heqat/include/heqat/bnops.h:16-20).  Such "wide-pool" contexts
+#: REQUIRE the f32-reciprocal kernel reduction (is_wide_pool /
+#: ops/pallas_rns2._red_mu): the integer-Barrett quotient-error bound
+#: v/2^28 + 2^14/m + 2 outgrows the 4m/2m/m conditional-subtract chain
+#: once m < 2^13, while the f32 flavor's {0,1} error holds for any
+#: m > 2^12.
+POOL_MIN_BITS = 12
 
 
 def _sieve_primes(lo: int, hi: int):
@@ -74,7 +85,13 @@ def _sieve_primes(lo: int, hi: int):
 
 @functools.lru_cache(maxsize=None)
 def _prime_pool():
-    return _sieve_primes(1 << (MOD_BITS - 1), 1 << MOD_BITS)
+    return _sieve_primes((1 << POOL_MIN_BITS) + 1, 1 << MOD_BITS)
+
+
+def is_wide_pool(ctx: "RNSContext") -> bool:
+    """Whether ``ctx`` allocated any modulus below 2^13 (see POOL_MIN_BITS:
+    these contexts must run the f32-reciprocal reduction flavor)."""
+    return int(ctx.mods.min()) < (1 << 13)
 
 
 def _barrett_consts(ms: np.ndarray) -> np.ndarray:
@@ -82,22 +99,58 @@ def _barrett_consts(ms: np.ndarray) -> np.ndarray:
     return (np.uint64(1 << 28) // ms.astype(np.uint64)).astype(np.uint32)
 
 
+def inv_f32(mods: np.ndarray) -> np.ndarray:
+    """f32 reciprocal reduction constants (1 - 2^-20)/m: the truncated
+    quotient q = i32(f32(v) * mu) is in {q_true-1, q_true} for v < 2^31
+    and any m > 2^12 (the 2^-20 downward bias dominates the rounding
+    errors), so ONE conditional subtract canonicalizes."""
+    return ((1.0 - 2.0**-20) / np.asarray(mods, np.float64)).astype(
+        np.float32
+    )
+
+
+def _pool_can_serve(nbits: int) -> bool:
+    """Whether :meth:`RNSContext.create` would succeed for an ``nbits``
+    modulus — simulates create()'s exact take()/padding allocation
+    (greedy largest-first, quantized target, one m_r prime) rather than
+    estimating capacity, so the gate and the allocator can never drift."""
+    pool = sorted(_prime_pool(), reverse=True)
+    tbits = -(-(nbits + GUARD_FACTOR.bit_length()) // 16) * 16
+    target = 1 << tbits
+    i = 0
+    sizes = []
+    for _ in range(2):  # bases A then B
+        prod, count = 1, 0
+        while prod < target:
+            if i >= len(pool):
+                return False
+            prod *= pool[i]
+            count += 1
+            i += 1
+        sizes.append(count)
+    i += max(sizes) - min(sizes)  # pad the smaller base to k moduli
+    if i >= len(pool):
+        return False
+    k, mr = max(sizes), pool[i]
+    return k < mr  # alpha' must fit the redundant modulus
+
+
 @functools.lru_cache(maxsize=None)
 def rns_max_modulus_bits() -> int:
-    """Largest modulus bit-width the 14-bit prime pool can serve.
+    """Largest modulus bit-width the prime pool can serve.
 
-    Two bases of k primes plus m_r must cover the quantized target
-    2^ceil16(nbits+4) twice over; the pool holds ~870 primes, enough for
-    N up to ~5900 bits (3000-bit Paillier keys' n^2, or any p^2 of keys
-    to 4096+ bits).  Above this the engines fall back to the width-
-    generic CIOS kernel backend (ops/pallas_modexp.py)."""
-    import math
-
-    pool = sorted(_prime_pool(), reverse=True)
-    half = (len(pool) - 1) // 2
-    bits_b = sum(math.log2(p) for p in pool[half:2 * half])
-    # the B base (smaller primes) binds; undo the +4 guard / 16-grid
-    return int(bits_b) // 16 * 16 - GUARD_FACTOR.bit_length() - 16
+    Found by bisection over :func:`_pool_can_serve` (the exact
+    simulation of create()'s allocator).  Above this the engines fall
+    back to the width-generic CIOS kernel backend
+    (ops/pallas_modexp.py)."""
+    lo, hi = 16, 1 << 16
+    while lo < hi:  # invariant: serve(lo) true, serve(hi) false
+        mid = (lo + hi + 1) // 2
+        if _pool_can_serve(mid):
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
 
 
 def rns_supported(nbits: int) -> bool:
@@ -252,8 +305,21 @@ class RNSContext:
             T2r=np.array([MBj[j] % mr for j in range(k)], np.uint32),
             MBinv_mr=int(pow(MB % mr, -1, mr)),
             MB_mod_A=np.array([MB % a for a in A], np.uint32),
+            # Limb weights are taken mod N first: row l converts limb l
+            # with weight (2^(15 l) mod N) mod m.  For limbs below N's
+            # width this equals 2^(15 l) mod m exactly; rows ABOVE N's
+            # width implicitly reduce the represented value mod N, so a
+            # caller may feed limbs WIDER than N (e.g. CRT decrypt feeds
+            # the full n^2-width ciphertext into the p^2/q^2 systems and
+            # the "ct mod p^2" fold happens inside this one conversion
+            # matmul).  The represented value V satisfies V ≡ x (mod N),
+            # V <= x, and V < Lin * 2^15 * N — create() callers size
+            # product_bits so M_A comfortably exceeds that bound.
             Cin=np.array(
-                [[pow(2, LIMB_BITS * l, int(m)) for m in mods] for l in range(Lin)],
+                [
+                    [pow(2, LIMB_BITS * l, N) % int(m) for m in mods]
+                    for l in range(Lin)
+                ],
                 np.uint32,
             ),
             Aout_limbs=np.stack(
@@ -276,11 +342,17 @@ class RNSContext:
         return self._to_residues(x, self.mods)
 
     def device_consts(self) -> dict:
-        """All constants as jnp arrays (shared across calls via jit args)."""
+        """All constants as jnp arrays (shared across calls via jit args).
+
+        Wide-pool contexts (any modulus < 2^13) ship the f32-reciprocal
+        reduction constants instead of integer Barrett — barrett_reduce
+        dispatches on the dtype (see there for the bound argument)."""
         f = jnp.asarray
         return dict(
             mods=f(self.mods),
-            barrett=f(self.barrett),
+            barrett=f(
+                inv_f32(self.mods) if is_wide_pool(self) else self.barrett
+            ),
             neg_Ninv_A=f(self.neg_Ninv_A),
             MAi_inv_A=f(self.MAi_inv_A),
             inv_a_f32=f(self.inv_a_f32),
@@ -310,13 +382,24 @@ class RNSContext:
 
 
 def barrett_reduce(v, m, mu):
-    """v mod m for v < 2^30, m in (2^13, 2^14), mu = floor(2^28/m).
+    """v mod m, dispatched on ``mu``'s dtype (device_consts picks it):
 
-    All intermediates fit uint32; at most 3 conditional subtracts.
+    * uint32 ``mu`` = floor(2^28/m): integer Barrett for v < 2^30 and
+      m in (2^13, 2^14).  Quotient error < v/2^28 + 2^14/m + 1 < 7, so
+      the 4m/2m/m conditional-subtract chain canonicalizes; all
+      intermediates fit uint32.
+    * float32 ``mu`` = (1 - 2^-20)/m (:func:`inv_f32`): reciprocal
+      flavor for wide-pool contexts (m down to 2^12, where the integer
+      bound outgrows any 3-subtract chain) — valid for v < 2^31 with
+      ONE conditional subtract.
     """
+    if mu.dtype == _F32:
+        q = (v.astype(jnp.int32).astype(_F32) * mu).astype(jnp.int32)
+        r = v - q.astype(_U32) * m
+        return jnp.where(r >= m, r - m, r)
     q = ((v >> MOD_BITS) * mu) >> MOD_BITS
     r = v - q * m
-    r = jnp.where(r >= 3 * m, r - 3 * m, r)
+    r = jnp.where(r >= 4 * m, r - 4 * m, r)
     r = jnp.where(r >= 2 * m, r - 2 * m, r)
     r = jnp.where(r >= m, r - m, r)
     return r

@@ -91,7 +91,15 @@ def test_apply_obfuscator_batch_fresh(rng):
     assert key.priv_key.decrypt(ct2).texts == vals
 
 
-@pytest.mark.parametrize("backend", ["xla", "rns_interpret"])
+@pytest.mark.parametrize(
+    "backend",
+    [
+        "xla",
+        # the interpret variant rebuilds the fixed-base table twice
+        # (~45 s): full-set only
+        pytest.param("rns_interpret", marks=pytest.mark.slow),
+    ],
+)
 def test_enable_djn_after_engine_instantiation(backend):
     """Regression: enableDJN on a key whose engine already exists must
     refresh the engine's obfuscator width (randbits), not just hs —

@@ -68,6 +68,20 @@ def test_fb_modexp_matches_pow(fb256):
         assert v <= 2 * N
 
 
+def test_fb_modexp_production_tile(fb256):
+    """The production encrypt configuration — a 256-row batch routes
+    rns_fb_modexp_stage to batch_tile=256 with 4 streams — in interpret
+    mode (the stage picks the tile from B, so B=256 exercises it)."""
+    rng, N, c, kc, conv, base, NP, planes = fb256
+    B = 256
+    exps = [rng.getrandbits(64) for _ in range(B - 3)] + [0, 1, (1 << 64) - 1]
+    wb = jnp.asarray(lb.ints_to_bytes_le(exps, NP))
+    res = pops.rns_fb_modexp_stage(planes, wb, kc, interpret=True)
+    vals = lb.limbs_to_ints(np.asarray(rns.rns_to_limbs(res, conv)))
+    for e, v in zip(exps, vals):
+        assert v % N == pow(base, e, N)
+
+
 def test_engine_djn_uses_fixedbase(rng):
     """End-to-end DJN encrypt on the rns_interpret backend exercises the
     fixed-base path (randbits fits the table) and stays roundtrip-correct."""

@@ -32,6 +32,58 @@ def test_context_invariants(ctx256):
     assert all((1 << 13) < m < (1 << 14) for m in mods)
 
 
+@pytest.mark.slow
+def test_max_modulus_gate_matches_allocator():
+    """The width gate and create()'s allocator must agree exactly: create
+    succeeds at rns_max_modulus_bits() and raises just past it (the gate
+    simulates the allocator, so drift means a wrong fallback decision)."""
+    import math
+
+    top = rns.rns_max_modulus_bits()
+    N = (1 << top) - 3  # odd, exactly `top` bits
+    pool_prod = math.prod(rns._prime_pool())
+    while math.gcd(N, pool_prod) != 1:  # N must be coprime to the pool
+        N -= 2  # (Paillier moduli p*q / p^2 always are)
+    c = rns.RNSContext.create(N)
+    assert c.MA > N and c.MB > N
+    with pytest.raises(ValueError):
+        rns.RNSContext.create((1 << (top + 16)) - 3)
+
+
+@pytest.mark.slow
+def test_wide_pool_oracle_6400():
+    """Wide-pool contexts (moduli below 2^13, reached by 6k+ -bit N — the
+    4096-bit-key n^2 class) must stay exact: the f32-reciprocal
+    barrett_reduce flavor ships via device_consts and every conversion /
+    Montgomery product matches Python ints."""
+    import random
+
+    rng = random.Random(5)
+    N = rng.getrandbits(6400) | (1 << 6399) | 1
+    c = rns.RNSContext.create(N)
+    assert rns.is_wide_pool(c)
+    conv = c.device_consts()
+    assert conv["barrett"].dtype == jnp.float32
+    B = 4
+    xs = [rng.randrange(N) for _ in range(B)]
+    ys = [rng.randrange(N) for _ in range(B)]
+    xr = rns.limbs_to_rns(jnp.asarray(lb.ints_to_limbs(xs, c.Lin)), conv)
+    back = lb.limbs_to_ints(np.asarray(rns.rns_to_limbs(xr, conv)))
+    assert [int(b) for b in back] == xs
+    yr = rns.limbs_to_rns(jnp.asarray(lb.ints_to_limbs(ys, c.Lin)), conv)
+    zr = rns.rns_mont_mul(xr, yr, conv)
+    zv = lb.limbs_to_ints(np.asarray(rns.rns_to_limbs(zr, conv)))
+    MAinv = pow(c.MA, -1, N)
+    for v, a, b in zip(zv, xs, ys):
+        assert v % N == (a * b * MAinv) % N and v < 3 * N
+    es = [rng.getrandbits(24) for _ in range(B)]
+    wins = jnp.asarray(lb.ints_to_windows(es, 24))
+    out = rns.rns_mont_exp(xr, wins, conv)
+    ov = lb.limbs_to_ints(np.asarray(rns.rns_to_limbs(out, conv)))
+    for v, a, e in zip(ov, xs, es):
+        assert v % N == pow(a, e, N)
+
+
 def test_residue_conversion_roundtrip(ctx256):
     rng, N, c = ctx256
     cd = c.device_consts()

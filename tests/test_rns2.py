@@ -70,6 +70,55 @@ def test_modexp2_shared_windows_grouped(ctx256, f32_mu):
             assert v % m == pow(b, exps[g], m)
 
 
+@pytest.mark.slow
+def test_modexp2_wide_pool_6400():
+    """The fused kernel on a WIDE-POOL context (moduli below 2^13 — the
+    4096-bit-key n^2 class): the constant builders must auto-select the
+    f32-reciprocal flavor and stay exact vs pow()."""
+    from pailliercryptolib_tpu.ops.rns import is_wide_pool
+
+    rng = random.Random(31)
+    N = rng.getrandbits(6400) | (1 << 6399) | 1
+    c = rns.RNSContext.create(N)
+    assert is_wide_pool(c)
+    consts = stack_group_consts2([c])  # f32_mu forced by the wide pool
+    assert consts["muA"].dtype == jnp.float32
+    B, ebits = BATCH_TILE, 12
+    bases = [rng.randrange(N) for _ in range(B - 2)] + [0, 1]
+    exps = [rng.getrandbits(ebits) for _ in range(B - 2)] + [0, 1]
+    x = jnp.asarray(lb.ints_to_limbs(bases, c.Lin))[None]
+    wins = jnp.asarray(lb.ints_to_windows(exps, ebits))[None]
+    out = pallas_rns_modexp2(x, wins, consts, interpret=True)
+    vals = lb.limbs_to_ints(
+        np.asarray(rns.rns_to_limbs(out[0], c.device_consts()))
+    )
+    for b, e, v in zip(bases, exps, vals):
+        assert v % N == pow(b, e, N)
+
+
+def test_modexp2_shared_production_tile(ctx256):
+    """The production decrypt configuration — batch_tile=256 with 8
+    streams (models/engine.py decrypt_crt stage) — in interpret mode, so
+    a stream-slicing bug specific to h = 256/8 = 32 rows cannot reach
+    TPU-only code paths untested."""
+    rng, N, c = ctx256
+    consts = stack_group_consts2([c], f32_mu=True)
+    B, ebits = 256, 12
+    bases = [rng.randrange(N) for _ in range(B - 2)] + [0, 1]
+    e = rng.getrandbits(ebits) | 1
+    x = jnp.asarray(lb.ints_to_limbs(bases, c.Lin))[None]
+    wins = jnp.asarray(lb.ints_to_windows([e], ebits))
+    out = pallas_rns_modexp2(
+        x, wins, consts, shared=True, batch_tile=256, streams=8,
+        interpret=True,
+    )
+    vals = lb.limbs_to_ints(
+        np.asarray(rns.rns_to_limbs(out[0], c.device_consts()))
+    )
+    for b, v in zip(bases, vals):
+        assert v % N == pow(b, e, N)
+
+
 @pytest.mark.parametrize(
     "streams,f32_mu", [(1, False), (4, False), (4, True)]
 )

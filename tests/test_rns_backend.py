@@ -54,24 +54,32 @@ def test_engine_rns_interpret_apply_obfuscator():
 
 
 def test_width_fallback_beyond_prime_pool():
-    """Moduli beyond the 14-bit prime pool's reach (~5.7k bits) must fall
-    back to the width-generic CIOS backend instead of crashing at RNS
-    context creation (hit by the public engine of 3072+/4096-bit keys)."""
+    """The 12..14-bit prime pool reaches ~8.5k-bit moduli, so the FULL
+    supported key envelope (n^2 to 8192 bits for 4096-bit keys) stays on
+    the RNS/MXU backend; only hypothetical wider moduli downgrade to the
+    width-generic CIOS backend instead of crashing at RNS context
+    creation."""
     import random
 
-    from pailliercryptolib_tpu.models.engine import PublicEngine, PrivateEngine
+    from pailliercryptolib_tpu.models.engine import PublicEngine
     from pailliercryptolib_tpu.ops.rns import rns_max_modulus_bits, rns_supported
 
     assert rns_supported(4096)
-    assert not rns_supported(8192)
-    assert rns_max_modulus_bits() >= 4096
+    assert rns_supported(8192)  # 4096-bit keys' n^2: on the MXU path
+    assert not rns_supported(16384)
+    assert rns_max_modulus_bits() >= 8192
 
     rng = random.Random(9)
-    # synthetic 4096-bit odd n (n^2 = 8192 bits): public engine downgrades
+    # a 4096-bit n (n^2 = 8192 bits) STAYS on RNS since round 5
     n = rng.getrandbits(4096) | (1 << 4095) | 1
-    pub = PublicEngine(n, 4096, hs=None, randbits=2048, backend="rns")
+    assert PublicEngine(n, 4096, hs=None, randbits=2048,
+                        backend="rns").backend == "rns"
+    # synthetic 4300-bit odd n (n^2 ~ 8600 bits): beyond the pool, the
+    # public engine downgrades
+    nw = rng.getrandbits(4300) | (1 << 4299) | 1
+    pub = PublicEngine(nw, 4300, hs=None, randbits=2150, backend="rns")
     assert pub.backend == "pallas"
-    pub_i = PublicEngine(n, 4096, hs=None, randbits=2048,
+    pub_i = PublicEngine(nw, 4300, hs=None, randbits=2150,
                          backend="rns_interpret")
     assert pub_i.backend == "pallas_interpret"
     # a 2048-bit n stays on RNS
