@@ -71,6 +71,9 @@ def record(name, ms, **extra):
 
 
 def sync(x):
+    if hasattr(x, "sync"):  # DevLimbs
+        x.sync()
+        return
     leaf = jax.tree.leaves(x)[0]
     np.asarray(jax.device_get(leaf[(0,) * (leaf.ndim - 1)][:1]))
 
@@ -105,7 +108,8 @@ def main():
     ct_a, _ = de._ct_operand(dev, 2 * de.Lp2)
 
     # ---- 1. decrypt layout / tile A-B ------------------------------------
-    for layout in ("folded", "grouped"):
+    layouts = () if "--skip-kernels" in sys.argv else ("folded", "grouped")
+    for layout in layouts:
         os.environ["PAILLIER_TPU_DECRYPT_LAYOUT"] = layout
         de._rns_crt = None
         kc2, conv2 = de.rns_crt
@@ -198,12 +202,13 @@ def main():
 
     res_fb = timeit(
         "encrypt_fb_kernel",
-        lambda: pops.rns_fb_modexp_stage(planes, r_b, kc),
+        lambda: pops.rns_fb_modexp_stage(planes, r_b, kc, mont_out=True),
     )
     timeit(
         "encrypt_post",
         lambda: pops.encrypt_post_stage(
-            res_fb, m_a, pe.n_limbs, conv, n2_n, n2_n0inv, n2_r2
+            res_fb, m_a, pe.n_limbs, conv, n2_n, n2_n0inv, n2_r2,
+            res_mont=True,
         ),
     )
     out = timeit("encrypt_e2e", lambda: pe.encrypt_djn_dev(vals, r))

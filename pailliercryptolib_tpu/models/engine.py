@@ -471,21 +471,22 @@ class PublicEngine(_EngineCommon):
                     r_b = self._up_arr(rb)
                 else:
                     r_b = self._up_arr(ints_to_bytes_le(r_p, NP))
-                res = self._stage(
-                    pops.rns_fb_modexp_stage, (1,),
-                    interpret=interp, mont_out=True,
-                )(planes, r_b, kc)
-                res_mont = True
-            else:  # injected oversized exponents: variable-base fallback
-                r_w = self._up_arr(ints_to_windows(r_p, nw * 4))
-                hs_b = jnp.broadcast_to(self.hs_limbs, (len(m_p), self.L2))
-                res = self._stage(
-                    pops.rns_modexp_stage, (0, 1), interpret=interp
-                )(hs_b, r_w, kc)
-                res_mont = False
+                # kernel + embedding + obfuscation multiply + finalize
+                # in ONE jitted program (fewer dispatch seams AND fewer
+                # cold-path compile round trips)
+                out = self._stage(
+                    pops.encrypt_fb_fused_stage, (1, 2), interpret=interp
+                )(planes, r_b, m_a, self.n_limbs, kc, conv, n2_n)
+                return DevLimbs(out, size)
+            # injected oversized exponents: variable-base fallback
+            r_w = self._up_arr(ints_to_windows(r_p, nw * 4))
+            hs_b = jnp.broadcast_to(self.hs_limbs, (len(m_p), self.L2))
+            res = self._stage(
+                pops.rns_modexp_stage, (0, 1), interpret=interp
+            )(hs_b, r_w, kc)
             out = self._stage(
                 pops.encrypt_post_stage, (0, 1),
-                interpret=interp, res_mont=res_mont,
+                interpret=interp, res_mont=False,
             )(res, m_a, self.n_limbs, conv, n2_n, n2_n0inv, n2_r2)
             return DevLimbs(out, size)
         r_w = self._up_arr(ints_to_windows(r_p, nw * 4))

@@ -282,10 +282,14 @@ def decrypt_crt_rns_op(
     bt = 256 if B % 256 == 0 else 128
 
     if "maskB" in kc2:  # folded lane layout, shared full-width input
+        # (bt=256, streams=4) measured fastest on a v5e: 25.7 ms/2048 vs
+        # 26.7 (256/8), 27.0 (256/2), 27.7 (128/4), 32.2 (256/1); larger
+        # tiles exceed the 16 MB scoped-VMEM limit
+        # (benchmarks/results/profile_r5_v5e.jsonl).
         k = kc2["sig0"].shape[-1] // 2
         res_f = pallas_rns_modexp2f(
             ct, exp_wins[:, 0], kc2, batch_tile=bt,
-            streams=8 if bt == 256 else 4, interpret=interpret,
+            streams=4, interpret=interpret,
         )
         res_rns = unfold_rns_out(res_f, k)
     else:
@@ -417,6 +421,33 @@ def encrypt_post_stage(
     else:
         t = rns_mont_mul(raw_res, conv["mont_sq"][None, :], conv)  # raw*MA
         ct_res = rns_mont_mul(t, res, conv)  # raw*obf, value < 3N
+    return _rns_finalize(ct_res, conv, n2_n, L2)
+
+
+@_rjit
+def encrypt_fb_fused_stage(
+    planes, win_bytes, m_a, n_limbs, kc, conv, n2_n, interpret=False
+):
+    """DJN encrypt in ONE jitted program: fixed-base modexp kernel
+    (mont_out) + plaintext embedding + obfuscation multiply + finalize.
+
+    One program instead of two halves the dispatch seams on the hot path
+    AND the separately-compiled-program count on the cold path — each
+    program is a round trip to the remote compile service, whose
+    documented stalls dominate first-encrypt latency (VERDICT r4 item 1).
+    """
+    from .rns import limbs_to_rns, rns_mont_mul
+
+    B = win_bytes.shape[0]
+    bt = 256 if B % 256 == 0 else 128
+    res = pallas_fb_modexp2(
+        *planes, win_bytes[None], kc, interpret=interpret,
+        batch_tile=bt, streams=4 if bt == 256 else 2, mont_out=True,
+    )[0]
+    L2 = n2_n.shape[-1]
+    raw = _raw_encrypt(m_a, n_limbs, L2)
+    raw_res = limbs_to_rns(raw, conv)
+    ct_res = rns_mont_mul(raw_res, res, conv)  # raw*obf, value < 3N
     return _rns_finalize(ct_res, conv, n2_n, L2)
 
 

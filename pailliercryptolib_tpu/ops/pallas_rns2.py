@@ -170,15 +170,23 @@ def _to_bf16(x):
 _I8 = jnp.int8
 
 
-def _mm_terms(x, Tlo, Thi, c28, c21, ncols=None):
+def _mm_terms(x, Tlo, Thi, c28, c21, ncols=None, lean=False):
     """Deferred-reduction base extension: the 2^14-radix fold of x @ T.
 
     x [Bt, k] < 2^14 (7-bit digit planes as int8; products <= 127^2
     accumulate exactly in i32); T pre-split into 7-bit int8 planes.
-    Returns a u32 value < 2^28.3 congruent to (x @ T) columnwise mod m,
-    with the 2^28 and 2^21 plane weights folded through the per-lane
-    constants c28 = 2^28 mod m, c21 = 2^21 mod m.  The single Barrett
-    lives in the CONSUMER's fused reduction.
+    Returns a u32 value congruent to (x @ T) columnwise mod m, with the
+    out-of-range plane weights folded through the per-lane constants
+    c28 = 2^28 mod m (and c21 = 2^21 mod m in the full fold).  The
+    single Barrett lives in the CONSUMER's fused reduction.
+
+    ``lean`` (f32-flavor consumers only): keep the mid plane UNsplit —
+    t = ll + (mid << 7) + ((hh & m14) << 14) + (hh >> 14) * c28, four
+    VPU ops fewer, value < 2^30.6 (mid < 2^23.3 so mid << 7 < 2^30.3).
+    That bound exceeds the integer-Barrett reach but sits inside the
+    f32-reciprocal flavor's v < 2^31 contract — callers must only pass
+    ``lean`` when ``mu`` is f32 (asserted via the constant dtype at the
+    call sites).
 
     ``ncols``: when T carries extra non-modular columns (the Kawamura
     alpha weights), fold only the first ``ncols`` columns and return the
@@ -194,13 +202,21 @@ def _mm_terms(x, Tlo, Thi, c28, c21, ncols=None):
         mid = mid[:, :ncols]
         hh = hh[:, :ncols]
     llu, midu, hhu = ll.astype(_U32), mid.astype(_U32), hh.astype(_U32)
-    t = (
-        (hhu >> MOD_BITS) * c28
-        + ((hhu & _MASK14) << MOD_BITS)
-        + (midu >> MOD_BITS) * c21
-        + ((midu & _MASK14) << DIGIT_BITS)
-        + llu
-    )  # < 2^28 + 2^23.3 + 2^25 + 2^21 + 2^23.3 < 2^28.3
+    if lean:
+        t = (
+            llu
+            + (midu << DIGIT_BITS)
+            + ((hhu & _MASK14) << MOD_BITS)
+            + (hhu >> MOD_BITS) * c28
+        )  # < 2^23.3 + 2^30.3 + 2^28 + 2^22.3 < 2^30.6
+    else:
+        t = (
+            (hhu >> MOD_BITS) * c28
+            + ((hhu & _MASK14) << MOD_BITS)
+            + (midu >> MOD_BITS) * c21
+            + ((midu & _MASK14) << DIGIT_BITS)
+            + llu
+        )  # < 2^28 + 2^23.3 + 2^25 + 2^21 + 2^23.3 < 2^28.3
     if ncols is not None:
         return t, raw
     return t
@@ -555,6 +571,12 @@ def _make_mont_mul2(c, streams=1):
     (within a single multiply the dependence chain forbids any overlap)."""
     k = c["sig0"].shape[-1]  # total A lanes (2k when folded)
     folded = "maskB" in c
+    # lean deferred-reduction fold (see _mm_terms): only when the fused
+    # reductions are the f32 flavor (its v < 2^31 contract absorbs the
+    # larger fold bound) AND the matmul contraction is narrow enough
+    # that the unsplit mid plane cannot overflow u32:
+    # 16129 * 259 * K + 2^28 + 5.4e8 < 2^31  =>  K <= 320.
+    lean = c["muA"].dtype == _F32 and c["T1lo"].shape[-2] <= 320
     if folded:
         m_r, mu_r = c["mrv"], c["murv"]  # [1, 2]
         two_mr = c["twomrv"]
@@ -586,7 +608,7 @@ def _make_mont_mul2(c, streams=1):
         kp1 = c["c28B"].shape[-1]
         tB_raws = [
             _mm_terms(s, c["T1lo"], c["T1hi"], c["c28B"], c["c21B"],
-                      ncols=kp1)
+                      ncols=kp1, lean=lean)
             for s in sigmas
         ]
         # Kawamura alpha estimate from the matmul's alpha column
@@ -614,7 +636,8 @@ def _make_mont_mul2(c, streams=1):
         ]
         # exact Shenoy extension back to base A: z_B IS the weight vector
         tAs = [
-            _mm_terms(zB[:, :k], c["T2lo"], c["T2hi"], c28A, c21A)
+            _mm_terms(zB[:, :k], c["T2lo"], c["T2hi"], c28A, c21A,
+                      lean=lean)
             for zB in zBs
         ]  # unreduced terms; trailing column(s) = m_r (MBinv-scaled)
         outs = []
