@@ -279,14 +279,19 @@ def decrypt_crt_rns_op(
     Lp2 = sq_n.shape[-1]
     cios = _cios_backend(interpret)
     B = ct.shape[0]
-    bt = 256 if B % 256 == 0 else 128
 
     if "maskB" in kc2:  # folded lane layout, shared full-width input
         # (bt=256, streams=4) measured fastest on a v5e: 25.7 ms/2048 vs
-        # 26.7 (256/8), 27.0 (256/2), 27.7 (128/4), 32.2 (256/1); larger
-        # tiles exceed the 16 MB scoped-VMEM limit
-        # (benchmarks/results/profile_r5_v5e.jsonl).
-        k = kc2["sig0"].shape[-1] // 2
+        # 26.7 (256/8), 27.0 (256/2), 27.7 (128/4), 32.2 (256/1); the
+        # window-table scratch (16 rows x bt x lane width x 4 B x 2
+        # sides) must stay inside the ~16 MB scoped-VMEM limit, so wide
+        # lane layouts (4096-bit keys' p^2: 2k = 610 lanes) drop to
+        # 128-row tiles (benchmarks/results/profile_r5_v5e.jsonl).
+        ka = kc2["sig0"].shape[-1]
+        kb = kc2["oneB"].shape[-1]
+        tab_bytes = 16 * 256 * (ka + kb) * 4
+        bt = 256 if B % 256 == 0 and tab_bytes <= 12 * 2**20 else 128
+        k = ka // 2
         res_f = pallas_rns_modexp2f(
             ct, exp_wins[:, 0], kc2, batch_tile=bt,
             streams=4, interpret=interpret,
@@ -295,7 +300,11 @@ def decrypt_crt_rns_op(
     else:
         # 256-row tiles with 8 streams measure ~6% faster than 128/4 at
         # full batch on a v5e (benchmarks/results: 29.5 vs 31.3 ms/2048);
-        # batches only tile-aligned to 128 keep the 128/4 configuration.
+        # batches only tile-aligned to 128 (or wide lane layouts, same
+        # scoped-VMEM argument as the folded branch) keep 128/4.
+        k1 = kc2["sig0"].shape[-1]
+        tab_bytes = 16 * 256 * (2 * k1 + 1) * 4
+        bt = 256 if B % 256 == 0 and tab_bytes <= 12 * 2**20 else 128
         two = sq_n.shape[0]
         bases = jnp.broadcast_to(ct[None], (two,) + ct.shape)
         res_rns = pallas_rns_modexp2(
