@@ -62,7 +62,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bits", type=int, default=2048)
     ap.add_argument("--batches", type=str, default=None)
-    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--blocks", type=int, default=3)
     args = ap.parse_args()
     batches = (

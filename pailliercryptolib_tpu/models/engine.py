@@ -362,6 +362,7 @@ class PublicEngine(_EngineCommon):
             self.randbits = randbits
         self._rns = None  # hs residues must be rebuilt
         self._fb = None  # table is sized from randbits and built from hs
+        self._fb_mask = None  # byte mask is sized from randbits
         self._secondary = None  # the xla twin re-derives hs on next use
 
     @property
@@ -433,18 +434,56 @@ class PublicEngine(_EngineCommon):
     # entry points apply the hybrid split, then forward to the _impl
     # pipelines.
 
+    def _seed_fallback(self, r, size: int, op: str):
+        """Materialize a DeviceSeed into host bytes for paths that cannot
+        expand on device: hybrid batch splits (the seed cannot be row-
+        sliced), sharded meshes (a replicated seed would repeat the same
+        obfuscators on every shard), and non-RNS backends."""
+        from ..ops.dispatch import hybrid_head_count
+        from ..utils.rng import DeviceSeed
+
+        if not isinstance(r, DeviceSeed):
+            return r
+        if (
+            self.mesh is not None
+            or not _is_rns(self.backend)
+            or hybrid_head_count(op, size, self.backend) < size
+        ):
+            return r.materialize(size, self.randbits)
+        return r
+
+    @property
+    def fb_mask(self):
+        """[NP] uint8 byte mask for device-generated obfuscator exponents
+        (0xFF for full randbits bytes, a partial top byte, 0 beyond)."""
+        if getattr(self, "_fb_mask", None) is None:
+            _, NP = self.fixedbase
+            nbytes = -(-self.randbits // 8)
+            mask = np.zeros((NP,), np.uint8)
+            mask[:nbytes] = 0xFF
+            top = self.randbits % 8
+            if top:
+                mask[nbytes - 1] = (1 << top) - 1
+            self._fb_mask = jnp.asarray(mask)
+        return self._fb_mask
+
     @_perf("encrypt_djn")
     def encrypt_djn_dev(self, m: Sequence[int], r) -> DevLimbs:
+        r = self._seed_fallback(r, len(m), "encrypt")
         out = self._hybrid("encrypt", "_encrypt_djn_impl", len(m), (m, r))
         return out if out is not None else self._encrypt_djn_impl(m, r)
 
     def _encrypt_djn_impl(self, m: Sequence[int], r) -> DevLimbs:
-        """``r`` is either a list of ints (injected test randoms) or a
-        [B, nbytes] uint8 array straight from the OS CSPRNG
-        (utils/rng.batch_random_bytes) — the fast path feeds the fixed-base
-        kernel's byte-window wire format without Python-int round-trips."""
+        """``r`` is a list of ints (injected test randoms), a [B, nbytes]
+        uint8 array from the OS CSPRNG (utils/rng.batch_random_bytes), or
+        a utils/rng.DeviceSeed — the fast path expands the seed on
+        device, so fresh-obfuscator encryption uploads 16 bytes instead
+        of the full exponent byte matrix."""
+        from ..utils.rng import DeviceSeed
+
         size = len(m)
         m_p = self._pad(m, 0)
+        r_is_seed = isinstance(r, DeviceSeed)
         r_is_bytes = isinstance(r, np.ndarray) and r.dtype == np.uint8
         if r_is_bytes and not _is_rns(self.backend):
             # non-RNS backends take window-encoded ints: decode once
@@ -452,7 +491,7 @@ class PublicEngine(_EngineCommon):
                 int.from_bytes(row.tobytes(), "little") for row in r
             ]
             r_is_bytes = False
-        if r_is_bytes:
+        if r_is_bytes or r_is_seed:
             r_p, ebits = None, self.randbits
         else:
             r_p = self._pad(r, 0)
@@ -464,6 +503,14 @@ class PublicEngine(_EngineCommon):
             _, kc, conv = self.rns
             interp = _rns_interp(self.backend)
             planes, NP = self.fixedbase
+            if r_is_seed:
+                # kernel + on-device exponent expansion + embedding +
+                # obfuscation multiply + finalize in ONE jitted program
+                out = self._stage(
+                    pops.encrypt_fb_fused_rng_stage, (3,), interpret=interp
+                )(planes, jnp.asarray(r.data), self.fb_mask, m_a,
+                  self.n_limbs, kc, conv, n2_n)
+                return DevLimbs(out, size)
             if -(-ebits // 8) <= NP:  # exponents fit the table
                 if r_is_bytes:
                     rb = np.zeros((len(m_p), NP), np.uint8)
@@ -526,25 +573,27 @@ class PublicEngine(_EngineCommon):
 
     @_perf("obfuscate")
     def obfuscate_dev(self, ct, r) -> DevLimbs:
-        out = self._hybrid(
-            "encrypt", "_obfuscate_impl",
-            ct.size if isinstance(ct, DevLimbs) else len(ct), (ct, r),
-        )
+        size = ct.size if isinstance(ct, DevLimbs) else len(ct)
+        r = self._seed_fallback(r, size, "encrypt")
+        out = self._hybrid("encrypt", "_obfuscate_impl", size, (ct, r))
         return out if out is not None else self._obfuscate_impl(ct, r)
 
     def _obfuscate_impl(self, ct, r) -> DevLimbs:
         """Standalone re-obfuscation: ct * hs^r (DJN, ipcl/pub_key.cpp:51-64)
         or ct * r^n (normal, :66-80) mod n^2.  ``ct`` is DevLimbs or a host
         int list; ``r`` follows encrypt_djn_dev's conventions."""
+        from ..utils.rng import DeviceSeed
+
         ct_a, size = self._ct_operand(ct, 1)
         B = ct_a.shape[0]
         n2_n, n2_n0inv, n2_r2, n2_one = self.n2_args
         if self.hs_limbs is not None:  # DJN: obf = hs^r
+            r_is_seed = isinstance(r, DeviceSeed)
             r_is_bytes = isinstance(r, np.ndarray) and r.dtype == np.uint8
             if r_is_bytes and not _is_rns(self.backend):
                 r = [int.from_bytes(row.tobytes(), "little") for row in r]
                 r_is_bytes = False
-            if r_is_bytes:
+            if r_is_bytes or r_is_seed:
                 r_p, ebits = None, self.randbits
             else:
                 r_p = self._pad(r, 0)
@@ -553,6 +602,16 @@ class PublicEngine(_EngineCommon):
                 _, kc, conv = self.rns
                 interp = _rns_interp(self.backend)
                 planes, NP = self.fixedbase
+                if r_is_seed:
+                    res = self._stage(
+                        pops.rns_fb_modexp_rng_stage, (),
+                        B=B, interpret=interp,
+                    )(planes, jnp.asarray(r.data), self.fb_mask, kc)
+                    out = self._stage(
+                        pops.mul_res_post_stage, (0, 1),
+                        interpret=interp, res_mont=True,
+                    )(ct_a, res, conv, n2_n)
+                    return DevLimbs(out, size)
                 if -(-ebits // 8) <= NP:
                     if r_is_bytes:
                         rb = np.zeros((B, NP), np.uint8)

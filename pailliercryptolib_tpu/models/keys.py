@@ -132,6 +132,9 @@ class PublicKey:
                 self._testv = False
             return r
         if self.enable_djn_flag:
+            if _rng.use_device_rng():
+                # 16-byte seed, expanded on device (utils/rng.DeviceSeed)
+                return _rng.DeviceSeed()
             # bytes-direct CSPRNG draw (the fixed-base kernel's wire format)
             return _rng.batch_random_bytes(size, self.randbits)
         # r uniform in [1, n-1] (ipcl/pub_key.cpp:74-77)

@@ -433,6 +433,43 @@ def encrypt_post_stage(
     return _rns_finalize(ct_res, conv, n2_n, L2)
 
 
+def _device_obf_bytes(seed, mask, B):
+    """Expand a 128-bit seed into [B, NP] obfuscator exponent bytes with
+    XLA's keyed RNG (impl="rbg": RngBitGenerator, 128-bit key) — the
+    reference's seeded-DRBG analog (ipcl/utils/common.cpp:52-77).
+    ``mask`` [NP] uint8 zeroes bytes beyond randbits and trims the top
+    byte when randbits % 8 != 0."""
+    import jax.random as jr
+
+    key = jr.wrap_key_data(seed, impl="rbg")
+    NP = mask.shape[-1]
+    return jr.bits(key, (B, NP), jnp.uint8) & mask[None, :]
+
+
+@_rjit
+def encrypt_fb_fused_rng_stage(
+    planes, seed, mask, m_a, n_limbs, kc, conv, n2_n, interpret=False
+):
+    """encrypt_fb_fused_stage with the obfuscator exponents generated ON
+    DEVICE from a 16-byte seed (utils/rng.DeviceSeed) — removes the
+    ~256 KB/2048-batch exponent upload whose variable tunnel bandwidth
+    gated encrypt throughput."""
+    wb = _device_obf_bytes(seed, mask, m_a.shape[0])
+    return encrypt_fb_fused_stage(
+        planes, wb, m_a, n_limbs, kc, conv, n2_n, interpret=interpret
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("B", "interpret"))
+def rns_fb_modexp_rng_stage(planes, seed, mask, kc, B, interpret=False):
+    """rns_fb_modexp_stage (mont_out) with device-generated exponents —
+    the apply_obfuscator twin of encrypt_fb_fused_rng_stage."""
+    wb = _device_obf_bytes(seed, mask, B)
+    return rns_fb_modexp_stage(
+        planes, wb, kc, interpret=interpret, mont_out=True
+    )
+
+
 @_rjit
 def encrypt_fb_fused_stage(
     planes, win_bytes, m_a, n_limbs, kc, conv, n2_n, interpret=False

@@ -4,8 +4,15 @@ The reference selects RDSEED -> RDRAND -> IPP PRNG at runtime
 (ipcl/utils/common.cpp:18-77, util.hpp:46-74).  On a TPU host the analogous
 split is:
 
-* **key material / obfuscators**: the OS CSPRNG (``secrets`` / ``os.urandom``)
-  — there is no on-chip TRNG to prefer, and these values are secret.
+* **key material**: the OS CSPRNG (``secrets`` / ``os.urandom``) — there
+  is no on-chip TRNG to prefer, and these values are secret.
+* **fresh obfuscators (hot path)**: a 128-bit OS-CSPRNG seed expanded
+  ON DEVICE by XLA's keyed RNG (:class:`DeviceSeed`) — the analog of the
+  reference's ippsPRNGen DRBG seeded from rdseed (common.cpp:52-77).
+  Host->device uploads ride a narrow tunnel here whose variable
+  bandwidth gated encrypt throughput when the full obfuscator byte
+  matrix (~256 KB/2048-batch) was shipped per call; the seed is 16
+  bytes.  ``PAILLIER_TPU_HOST_RNG=1`` restores the bytes-direct path.
 * **deterministic test vectors**: explicit injection via
   ``PublicKey.set_random`` (the analog of the reference's ``setRandom`` hook,
   ipcl/pub_key.cpp:92-95), which makes encryption a pure function for the
@@ -17,6 +24,32 @@ from __future__ import annotations
 import os
 import secrets
 from typing import List
+
+
+class DeviceSeed:
+    """A 128-bit OS-entropy seed for on-device obfuscator expansion.
+
+    Engines feed ``data`` (uint32[4]) to ``jax.random`` with the "rbg"
+    implementation (XLA RngBitGenerator, 128-bit keyed) inside the
+    encrypt program; paths that cannot expand on device (hybrid batch
+    splits, sharded meshes, non-RNS backends) call :meth:`materialize`
+    for an equivalent fresh host draw instead."""
+
+    __slots__ = ("data",)
+
+    def __init__(self):
+        import numpy as np
+
+        self.data = np.frombuffer(os.urandom(16), np.uint32).copy()
+
+    def materialize(self, count: int, nbits: int):
+        return batch_random_bytes(count, nbits)
+
+
+def use_device_rng() -> bool:
+    """Whether fresh obfuscators expand on device (default; see module
+    docstring)."""
+    return os.environ.get("PAILLIER_TPU_HOST_RNG") != "1"
 
 
 def random_bits(nbits: int) -> int:
