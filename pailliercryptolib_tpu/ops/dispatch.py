@@ -66,11 +66,15 @@ WORKLOAD_SIZE_THRESHOLD = 128
 #: every measured point, so the tuned optimum is 1.0 across the board.
 #: MEASURED, not assumed: benchmarks/bench_hybrid.py sweeps on a v5e
 #: (benchmarks/results/hybrid_sweep_v5e.jsonl) cover 1024-bit keys at
-#: batches {16, 256} and 2048-bit keys at batches {16, 256, 2048}, ratios
-#: {0, 0.5, 0.9, 1}: every encrypt/decrypt/multiply ratio < 1 measured
-#: slower than 1.0 at every covered (size, batch) point — the XLA tail
-#: dominates any split (e.g. 1024-bit encrypt at ratio 0.9 is ~20x the
-#: ratio-1.0 time).
+#: batches {16, 256} x ratios {0, 0.5, 0.9, 1} and 2048-bit keys at
+#: batches {16, 256, 2048} x ratios {0.9, 1}.  Encrypt: any split loses
+#: catastrophically at every covered point (2048-bit ratio 0.9 is
+#: 70-130x the ratio-1.0 time — the XLA tail dominates).  Decrypt /
+#: multiply: ratio 1.0 wins at every covered point up to batch 256; at
+#: batch 2048 ratios 0.9 and 1.0 measure within the run's ~5% noise
+#: (29.3 vs 30.5 ms decrypt, 10.2 vs 11.4 ms multiply), so 1.0 is kept
+#: — it avoids the XLA pipeline's multi-minute first compile and the
+#: host-side batch split.
 OPTIMAL_RATIOS = {"encrypt": 1.0, "decrypt": 1.0, "multiply": 1.0}
 HYBRID_RATIO_FULL = 1.0
 

@@ -549,7 +549,7 @@ _MM2F_KEYS = (
 _MM2F_NREFS = len(_MM2F_KEYS)
 
 
-def _make_mont_mul2(c, streams=1):
+def _make_mont_mul2(c, streams=1, canonical_out=False):
     """Build the fused-reduction Montgomery multiply on (xA, zB) pairs.
 
     xA [Bt, k] canonical A-side residues; zB [Bt, k+1] canonical SCALED
@@ -649,9 +649,21 @@ def _make_mont_mul2(c, streams=1):
                 a2 = _group_bcast(alpha2, c["maskA"])
             else:
                 a2 = alpha2
+            # rA may stay redundant (< 2m) under the f32 flavor: its only
+            # consumers are lane products (u_A < 4m^2 < 2^30, and the
+            # sigma chain tolerates the wider split: h_A*sig1 + l_A*sig0
+            # < 2^30.4 < 2^31) and the out-of-RNS reconstruction, which
+            # reduces per-residue anyway.  The integer flavor keeps the
+            # third layer (its quotient-error bound would hit the 8m
+            # chain limit with redundant inputs), as do callers whose
+            # outputs feed int8 digit planes (``canonical_out``: the
+            # fixed-base TABLE build — a redundant 15-bit entry would
+            # overflow the 7-bit plane split).
+            lax_ra = c["muA"].dtype == _F32 and not canonical_out
             rA = _red_mu(
                 tA[:, :k] + c["padA"] - a2 * c["MB_mod_A"],
                 c["modsA"], c["muA"],
+                layers=2 if lax_ra else 3,
             )
             outs.append((rA, zB))
         return outs
@@ -1023,7 +1035,9 @@ def unfold_rns_out(res, k):
 def _fb_table2_kernel(*refs):
     c = _mm2_cref(refs[:_MM2_NREFS])
     gA_ref, gB_ref, outA_ref, outB_ref, accA_ref, accB_ref = refs[_MM2_NREFS:]
-    mont_mul = _make_mont_mul2(c)
+    # table entries are split into int8 digit planes downstream
+    # (fb_digit_planes2): outputs must be canonical
+    mont_mul = _make_mont_mul2(c, canonical_out=True)
     j = pl.program_id(1)
     NP = gA_ref.shape[-2]
     k = gA_ref.shape[-1]
