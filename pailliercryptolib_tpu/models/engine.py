@@ -860,15 +860,19 @@ class PrivateEngine(_EngineCommon):
     @property
     def rns_crt(self):
         """(p^2, q^2) RNS machinery for CRT decrypt: (kernel consts, conv
-        consts).  Default is the CRT-FOLDED lane layout
+        consts).  Layout "auto" (default): the CRT-FOLDED lane layout
         (fold_group_consts2 shared_input + the f32-reciprocal
-        reduction): both residue systems share every squaring on one
-        kernel step's lane axis.  Round 4 measured folded BEHIND grouped
-        (39.4 vs 31.7 ms/2048) because its per-group alpha broadcasts
-        were Precision.HIGHEST f32 selector matmuls; those are now plain
-        lane broadcasts (_group_bcast).  PAILLIER_TPU_DECRYPT_LAYOUT=
-        "grouped" keeps the round-4 grouped configuration for A/B
-        measurement (benchmarks/expt_redmu.py)."""
+        reduction) when both residue systems fit 384 lanes side by side
+        — every squaring then serves both CRT halves, and the lean
+        deferred-reduction fold applies (contraction <= 320).  Wider
+        keys (3072+/4096-bit: 2k = 450/610 lanes) use the GROUPED
+        two-grid layout, whose per-group k stays lean-eligible and
+        whose window tables fit 256-row tiles.  Round 4 measured folded
+        BEHIND grouped (39.4 vs 31.7 ms/2048) because its per-group
+        alpha broadcasts were Precision.HIGHEST f32 selector matmuls;
+        as plain lane broadcasts (_group_bcast) folded wins at 2048-bit:
+        25.5 vs 28.9 ms/2048.  PAILLIER_TPU_DECRYPT_LAYOUT forces
+        "folded"/"grouped" for A/B measurement."""
         if self._rns_crt is None:
             import os
 
@@ -880,7 +884,9 @@ class PrivateEngine(_EngineCommon):
             )
 
             cp, cq = self._rns_crt_ctxs()
-            layout = os.environ.get("PAILLIER_TPU_DECRYPT_LAYOUT", "folded")
+            layout = os.environ.get("PAILLIER_TPU_DECRYPT_LAYOUT", "auto")
+            if layout == "auto":
+                layout = "folded" if 2 * cp.k + 2 <= 384 else "grouped"
             if layout == "grouped":
                 kc2 = stack_group_consts2([cp, cq], f32_mu=True)
             else:

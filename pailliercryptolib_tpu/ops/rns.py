@@ -240,7 +240,9 @@ class RNSContext:
 
         MA, A, i1 = take(0)
         MB, Bb, i2 = take(i1)
-        # pad the smaller base so both have k moduli
+        # pad the smaller base so both have k moduli (+1 prime for m_r)
+        if i2 + abs(len(A) - len(Bb)) >= len(pool):
+            raise ValueError("prime pool exhausted; modulus too large")
         while len(A) < len(Bb):
             MA *= pool[i2]
             A.append(pool[i2])
