@@ -433,17 +433,85 @@ def encrypt_post_stage(
     return _rns_finalize(ct_res, conv, n2_n, L2)
 
 
-def _device_obf_bytes(seed, mask, B):
-    """Expand a 128-bit seed into [B, NP] obfuscator exponent bytes with
-    XLA's keyed RNG (impl="rbg": RngBitGenerator, 128-bit key) — the
-    reference's seeded-DRBG analog (ipcl/utils/common.cpp:52-77).
-    ``mask`` [NP] uint8 zeroes bytes beyond randbits and trims the top
-    byte when randbits % 8 != 0."""
-    import jax.random as jr
+def _rotl(x, r):
+    return (x << _U32(r)) | (x >> _U32(32 - r))
 
-    key = jr.wrap_key_data(seed, impl="rbg")
+
+def _chacha20_blocks(key8, nonce3, nblocks):
+    """RFC 8439 ChaCha20 keystream: ``nblocks`` 64-byte blocks as a
+    [nblocks, 64] uint8 array (counter starts at 0).
+
+    A vetted CSPRNG construction — NOT jax.random (whose generators are
+    documented as non-cryptographic).  The 16-word state lives as 16
+    [nblocks] u32 vectors, so every quarter-round is elementwise across
+    blocks (pure VPU ARX ops, ~0.1 ms per 2048-batch draw); only the
+    counter word differs per block.  Validated against the RFC 8439
+    §2.3.2 test vector (tests/test_rns_backend.py)."""
+    consts = (0x61707865, 0x3320646E, 0x79622D32, 0x6B206574)
+    ctr = jnp.arange(nblocks, dtype=_U32)
+    ones = jnp.ones((nblocks,), _U32)
+
+    def bcast(w):
+        return ones * w
+
+    init = (
+        [bcast(_U32(c)) for c in consts]
+        + [bcast(key8[i]) for i in range(8)]
+        + [ctr]
+        + [bcast(nonce3[i]) for i in range(3)]
+    )
+    x = list(init)
+
+    def qr(a, b, c, d):
+        a = a + b
+        d = _rotl(d ^ a, 16)
+        c = c + d
+        b = _rotl(b ^ c, 12)
+        a = a + b
+        d = _rotl(d ^ a, 8)
+        c = c + d
+        b = _rotl(b ^ c, 7)
+        return a, b, c, d
+
+    for _ in range(10):  # 10 double-rounds = 20 rounds
+        x[0], x[4], x[8], x[12] = qr(x[0], x[4], x[8], x[12])
+        x[1], x[5], x[9], x[13] = qr(x[1], x[5], x[9], x[13])
+        x[2], x[6], x[10], x[14] = qr(x[2], x[6], x[10], x[14])
+        x[3], x[7], x[11], x[15] = qr(x[3], x[7], x[11], x[15])
+        x[0], x[5], x[10], x[15] = qr(x[0], x[5], x[10], x[15])
+        x[1], x[6], x[11], x[12] = qr(x[1], x[6], x[11], x[12])
+        x[2], x[7], x[8], x[13] = qr(x[2], x[7], x[8], x[13])
+        x[3], x[4], x[9], x[14] = qr(x[3], x[4], x[9], x[14])
+
+    words = jnp.stack(
+        [xi + ii for xi, ii in zip(x, init)], axis=1
+    )  # [nblocks, 16], little-endian word order
+    by = jnp.stack(
+        [
+            (words >> _U32(8 * i)).astype(jnp.uint8)
+            for i in range(4)
+        ],
+        axis=-1,
+    )  # [nblocks, 16, 4]
+    return by.reshape(nblocks, 64)
+
+
+def _device_obf_bytes(seed, mask, B):
+    """Expand a per-call OS-CSPRNG seed into [B, NP] obfuscator exponent
+    bytes with an on-device ChaCha20 keystream (RFC 8439) — a
+    cryptographic DRBG in the reference's seeded-DRBG role
+    (ipcl/utils/common.cpp:52-77), evaluated on the accelerator so the
+    host uploads 44 bytes instead of the full exponent matrix.
+
+    ``seed``: [11] uint32 = 256-bit key + 96-bit nonce
+    (utils/rng.DeviceSeed).  ``mask`` [NP] uint8 zeroes bytes beyond
+    randbits and trims the top byte when randbits % 8 != 0."""
     NP = mask.shape[-1]
-    return jr.bits(key, (B, NP), jnp.uint8) & mask[None, :]
+    total = B * NP
+    nblocks = -(-total // 64)
+    ks = _chacha20_blocks(seed[:8], seed[8:11], nblocks)
+    flat = ks.reshape(-1)[:total]
+    return flat.reshape(B, NP) & mask[None, :]
 
 
 @_rjit

@@ -967,10 +967,15 @@ def pallas_rns_modexp2f(base_limbs, windows, consts, *, interpret=False,
     CRT halves at once (the TPU form of the reference's 2-way CRT
     decomposition, ipcl/pri_key.cpp:114-146).
 
-    base_limbs [B, 2L]: each row is the p-group limbs followed by the
-    q-group limbs.  windows [2, NW]: the groups' shared exponents
-    (MS window first, SMEM-resident).  Returns one [B, 4k+2] residue
-    array in folded lane order [A_p | A_q | B_p | B_q | mr_p | mr_q].
+    base_limbs: rows must match ``consts``' Cin layout — with
+    fold_group_consts2(shared_input=True) (the production decrypt
+    configuration) each row is ONE shared limb vector (the full
+    n^2-width ciphertext; the per-group mod-p^2/q^2 folds ride the Cin
+    weights), while the block-diagonal default expects the p-group limbs
+    followed by the q-group limbs.  windows [2, NW]: the groups' shared
+    exponents (MS window first, SMEM-resident).  Returns one [B, 4k+2]
+    residue array in folded lane order
+    [A_p | A_q | B_p | B_q | mr_p | mr_q].
     """
     B, L2 = base_limbs.shape
     ka = consts["sig0"].shape[-1]  # 2k

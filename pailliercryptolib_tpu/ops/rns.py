@@ -109,30 +109,63 @@ def inv_f32(mods: np.ndarray) -> np.ndarray:
     )
 
 
-def _pool_can_serve(nbits: int) -> bool:
-    """Whether :meth:`RNSContext.create` would succeed for an ``nbits``
-    modulus — simulates create()'s exact take()/padding allocation
-    (greedy largest-first, quantized target, one m_r prime) rather than
-    estimating capacity, so the gate and the allocator can never drift."""
+def _alloc_bases(nbits: int, product_bits: Optional[int] = None):
+    """Greedy largest-first base allocation: (M_A, A, M_B, B, m_r).
+
+    The ONE allocator behind both :meth:`RNSContext.create` and the
+    width gate (:func:`rns_supported`), so the two cannot drift.  The
+    base-product target is QUANTIZED to a 16-bit grid: with the raw
+    target 9*N, the moduli count k — and with it every kernel shape and
+    persistent-compile-cache key — would flip at prime-count boundaries
+    depending on the key's exact magnitude, so two same-bit-size keys
+    could compile distinct (but identical-cost) programs and never
+    share the cache across processes.  Rounding ceil(log2(9N)) <=
+    nbits+4 up to a multiple of 16 makes k a function of the key's size
+    class only, at a cost of at most one extra modulus.  Raises
+    ValueError when the pool cannot serve the width."""
     pool = sorted(_prime_pool(), reverse=True)
     tbits = -(-(nbits + GUARD_FACTOR.bit_length()) // 16) * 16
     target = 1 << tbits
-    i = 0
-    sizes = []
-    for _ in range(2):  # bases A then B
-        prod, count = 1, 0
+    if product_bits is not None:
+        target = max(target, 1 << product_bits)
+
+    def take(start):
+        prod, chosen, i = 1, [], start
         while prod < target:
             if i >= len(pool):
-                return False
+                raise ValueError("prime pool exhausted; modulus too large")
             prod *= pool[i]
-            count += 1
+            chosen.append(pool[i])
             i += 1
-        sizes.append(count)
-    i += max(sizes) - min(sizes)  # pad the smaller base to k moduli
-    if i >= len(pool):
+        return prod, chosen, i
+
+    MA, A, i1 = take(0)
+    MB, Bb, i2 = take(i1)
+    # pad the smaller base so both have k moduli (+1 prime for m_r)
+    if i2 + abs(len(A) - len(Bb)) >= len(pool):
+        raise ValueError("prime pool exhausted; modulus too large")
+    while len(A) < len(Bb):
+        MA *= pool[i2]
+        A.append(pool[i2])
+        i2 += 1
+    while len(Bb) < len(A):
+        MB *= pool[i2]
+        Bb.append(pool[i2])
+        i2 += 1
+    mr = pool[i2]
+    if len(A) >= mr:
+        raise ValueError("alpha' must fit the redundant modulus")
+    return MA, A, MB, Bb, mr
+
+
+def _pool_can_serve(nbits: int) -> bool:
+    """Whether :meth:`RNSContext.create` would succeed for an ``nbits``
+    modulus (runs the exact shared allocator)."""
+    try:
+        _alloc_bases(nbits)
+        return True
+    except ValueError:
         return False
-    k, mr = max(sizes), pool[i]
-    return k < mr  # alpha' must fit the redundant modulus
 
 
 @functools.lru_cache(maxsize=None)
@@ -209,52 +242,11 @@ class RNSContext:
         if N <= 0 or N % 2 == 0:
             raise ValueError("RNS modulus must be positive and odd")
         nbits = N.bit_length()
-        pool = _prime_pool()
-        # greedily take the largest primes first (fewer moduli)
-        pool = sorted(pool, reverse=True)
-        # The base-product target is QUANTIZED to a 16-bit grid: with the
-        # raw target 9*N, the moduli count k — and with it every kernel
-        # shape and persistent-compile-cache key — flips at prime-count
-        # boundaries depending on the key's exact magnitude, so two
-        # same-bit-size keys could compile distinct (but identical-cost)
-        # programs and never share the cache across processes.  Rounding
-        # ceil(log2(9N)) <= nbits+4 up to a multiple of 16 makes k a
-        # function of the key's size class only (a 2048-bit keypair's
-        # n^2 spans 4093..4096 bits -> one target, 4112) at a cost of at
-        # most one extra 14-bit modulus.
-        tbits = -(-(nbits + GUARD_FACTOR.bit_length()) // 16) * 16
-        target = 1 << tbits
-        if product_bits is not None:
-            target = max(target, 1 << product_bits)
-
-        def take(start):
-            prod, chosen = 1, []
-            i = start
-            while prod < target:
-                if i >= len(pool):
-                    raise ValueError("prime pool exhausted; modulus too large")
-                prod *= pool[i]
-                chosen.append(pool[i])
-                i += 1
-            return prod, chosen, i
-
-        MA, A, i1 = take(0)
-        MB, Bb, i2 = take(i1)
-        # pad the smaller base so both have k moduli (+1 prime for m_r)
-        if i2 + abs(len(A) - len(Bb)) >= len(pool):
-            raise ValueError("prime pool exhausted; modulus too large")
-        while len(A) < len(Bb):
-            MA *= pool[i2]
-            A.append(pool[i2])
-            i2 += 1
-        while len(Bb) < len(A):
-            MB *= pool[i2]
-            Bb.append(pool[i2])
-            i2 += 1
-        mr = pool[i2]
+        # the ONE shared allocator (also behind rns_supported's gate):
+        # greedy largest-first with the quantized target — see there
+        MA, A, MB, Bb, mr = _alloc_bases(nbits, product_bits)
         k = len(A)
         assert k == len(Bb)
-        assert k < mr, "alpha' must fit the redundant modulus"
 
         A_np = np.array(A, np.uint32)
         B_np = np.array(Bb, np.uint32)

@@ -6,13 +6,15 @@ split is:
 
 * **key material**: the OS CSPRNG (``secrets`` / ``os.urandom``) — there
   is no on-chip TRNG to prefer, and these values are secret.
-* **fresh obfuscators (hot path)**: a 128-bit OS-CSPRNG seed expanded
-  ON DEVICE by XLA's keyed RNG (:class:`DeviceSeed`) — the analog of the
-  reference's ippsPRNGen DRBG seeded from rdseed (common.cpp:52-77).
-  Host->device uploads ride a narrow tunnel here whose variable
-  bandwidth gated encrypt throughput when the full obfuscator byte
-  matrix (~256 KB/2048-batch) was shipped per call; the seed is 16
-  bytes.  ``PAILLIER_TPU_HOST_RNG=1`` restores the bytes-direct path.
+* **fresh obfuscators (hot path)**: a per-call OS-CSPRNG key+nonce
+  expanded ON DEVICE by an RFC 8439 ChaCha20 keystream
+  (:class:`DeviceSeed`, ops/paillier_ops._chacha20_blocks) — a vetted
+  cryptographic DRBG in the role of the reference's ippsPRNGen DRBG
+  seeded from rdseed (common.cpp:52-77).  Host->device uploads ride a
+  narrow tunnel here whose variable bandwidth gated encrypt throughput
+  when the full obfuscator byte matrix (~256 KB/2048-batch) was shipped
+  per call; the seed is 44 bytes.  ``PAILLIER_TPU_HOST_RNG=1`` restores
+  the bytes-direct path.
 * **deterministic test vectors**: explicit injection via
   ``PublicKey.set_random`` (the analog of the reference's ``setRandom`` hook,
   ipcl/pub_key.cpp:92-95), which makes encryption a pure function for the
@@ -27,20 +29,22 @@ from typing import List
 
 
 class DeviceSeed:
-    """A 128-bit OS-entropy seed for on-device obfuscator expansion.
+    """A per-call OS-entropy ChaCha20 key+nonce (uint32[11]: 256-bit key,
+    96-bit nonce) for on-device obfuscator expansion.
 
-    Engines feed ``data`` (uint32[4]) to ``jax.random`` with the "rbg"
-    implementation (XLA RngBitGenerator, 128-bit keyed) inside the
-    encrypt program; paths that cannot expand on device (hybrid batch
-    splits, sharded meshes, non-RNS backends) call :meth:`materialize`
-    for an equivalent fresh host draw instead."""
+    Engines evaluate an RFC 8439 ChaCha20 keystream on the accelerator
+    (ops/paillier_ops._chacha20_blocks) — a vetted CSPRNG construction,
+    deliberately NOT jax.random (whose generators are documented as
+    non-cryptographic).  Paths that cannot expand on device (hybrid
+    batch splits, sharded meshes, non-RNS backends) call
+    :meth:`materialize` for an equivalent fresh host draw instead."""
 
     __slots__ = ("data",)
 
     def __init__(self):
         import numpy as np
 
-        self.data = np.frombuffer(os.urandom(16), np.uint32).copy()
+        self.data = np.frombuffer(os.urandom(44), np.uint32).copy()
 
     def materialize(self, count: int, nbits: int):
         return batch_random_bytes(count, nbits)

@@ -86,3 +86,22 @@ def test_width_fallback_beyond_prime_pool():
     n2 = rng.getrandbits(2048) | (1 << 2047) | 1
     assert PublicEngine(n2, 2048, hs=None, randbits=1024,
                         backend="rns").backend == "rns"
+
+
+def test_chacha20_rfc8439_vector():
+    """The on-device obfuscator DRBG is RFC 8439 ChaCha20 — bit-exact
+    against the specification's §2.3.2 keystream test vector (key =
+    00..1f, nonce = 000000090000004a00000000, block counter 1)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pailliercryptolib_tpu.ops.paillier_ops import _chacha20_blocks
+
+    key = np.frombuffer(bytes(range(32)), np.uint32)
+    nonce = np.frombuffer(bytes.fromhex("000000090000004a00000000"), np.uint32)
+    ks = np.asarray(_chacha20_blocks(jnp.asarray(key), jnp.asarray(nonce), 2))
+    want = (
+        "10f1e7e4d13b5915500fdd1fa32071c4c7d1f4c733c068030422aa9ac3d46c4e"
+        "d2826446079faa0914c2d705d98b02a2b5129cd1de164eb9cbd083e8a2503c4e"
+    )
+    assert ks[1].tobytes().hex() == want
