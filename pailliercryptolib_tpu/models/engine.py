@@ -437,20 +437,32 @@ class PublicEngine(_EngineCommon):
     def _seed_fallback(self, r, size: int, op: str):
         """Materialize a DeviceSeed into host bytes for paths that cannot
         expand on device: hybrid batch splits (the seed cannot be row-
-        sliced), sharded meshes (a replicated seed would repeat the same
-        obfuscators on every shard), and non-RNS backends."""
+        sliced) and non-RNS backends.  Sharded meshes DO expand on
+        device — each shard gets its own seed row (_seed_rows), so
+        shards draw independent ChaCha20 keystreams."""
         from ..ops.dispatch import hybrid_head_count
         from ..utils.rng import DeviceSeed
 
         if not isinstance(r, DeviceSeed):
             return r
         if (
-            self.mesh is not None
-            or not _is_rns(self.backend)
+            not _is_rns(self.backend)
             or hybrid_head_count(op, size, self.backend) < size
         ):
             return r.materialize(size, self.randbits)
         return r
+
+    def _seed_rows(self, r):
+        """[S, 11] uint32 seed rows, one per mesh device (row i keys
+        device i's shard; S=1 without a mesh), batch-sharded so each
+        shard reads only its own row."""
+        from ..utils.rng import DeviceSeed
+
+        rows = np.stack(
+            [r.data]
+            + [DeviceSeed().data for _ in range(self._ndev - 1)]
+        )
+        return self._up_arr(rows)
 
     @property
     def fb_mask(self):
@@ -505,10 +517,12 @@ class PublicEngine(_EngineCommon):
             planes, NP = self.fixedbase
             if r_is_seed:
                 # kernel + on-device exponent expansion + embedding +
-                # obfuscation multiply + finalize in ONE jitted program
+                # obfuscation multiply + finalize in ONE jitted program;
+                # the seed rows are batch-sharded (one per device)
                 out = self._stage(
-                    pops.encrypt_fb_fused_rng_stage, (3,), interpret=interp
-                )(planes, jnp.asarray(r.data), self.fb_mask, m_a,
+                    pops.encrypt_fb_fused_rng_stage, (1, 3),
+                    interpret=interp,
+                )(planes, self._seed_rows(r), self.fb_mask, m_a,
                   self.n_limbs, kc, conv, n2_n)
                 return DevLimbs(out, size)
             if -(-ebits // 8) <= NP:  # exponents fit the table
@@ -603,14 +617,11 @@ class PublicEngine(_EngineCommon):
                 interp = _rns_interp(self.backend)
                 planes, NP = self.fixedbase
                 if r_is_seed:
-                    res = self._stage(
-                        pops.rns_fb_modexp_rng_stage, (),
-                        B=B, interpret=interp,
-                    )(planes, jnp.asarray(r.data), self.fb_mask, kc)
                     out = self._stage(
-                        pops.mul_res_post_stage, (0, 1),
-                        interpret=interp, res_mont=True,
-                    )(ct_a, res, conv, n2_n)
+                        pops.obfuscate_fb_fused_rng_stage, (1, 3),
+                        interpret=interp,
+                    )(planes, self._seed_rows(r), self.fb_mask, ct_a,
+                      kc, conv, n2_n)
                     return DevLimbs(out, size)
                 if -(-ebits // 8) <= NP:
                     if r_is_bytes:

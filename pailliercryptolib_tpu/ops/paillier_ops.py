@@ -503,13 +503,15 @@ def _device_obf_bytes(seed, mask, B):
     (ipcl/utils/common.cpp:52-77), evaluated on the accelerator so the
     host uploads 44 bytes instead of the full exponent matrix.
 
-    ``seed``: [11] uint32 = 256-bit key + 96-bit nonce
-    (utils/rng.DeviceSeed).  ``mask`` [NP] uint8 zeroes bytes beyond
+    ``seed``: [S, 11] uint32 rows of (256-bit key, 96-bit nonce)
+    (utils/rng.DeviceSeed); row 0 keys this expansion — under a sharded
+    mesh each device's shard carries its OWN row, so shards draw
+    independent keystreams.  ``mask`` [NP] uint8 zeroes bytes beyond
     randbits and trims the top byte when randbits % 8 != 0."""
     NP = mask.shape[-1]
     total = B * NP
     nblocks = -(-total // 64)
-    ks = _chacha20_blocks(seed[:8], seed[8:11], nblocks)
+    ks = _chacha20_blocks(seed[0, :8], seed[0, 8:11], nblocks)
     flat = ks.reshape(-1)[:total]
     return flat.reshape(B, NP) & mask[None, :]
 
@@ -519,7 +521,7 @@ def encrypt_fb_fused_rng_stage(
     planes, seed, mask, m_a, n_limbs, kc, conv, n2_n, interpret=False
 ):
     """encrypt_fb_fused_stage with the obfuscator exponents generated ON
-    DEVICE from a 16-byte seed (utils/rng.DeviceSeed) — removes the
+    DEVICE from a 44-byte seed row (utils/rng.DeviceSeed) — removes the
     ~256 KB/2048-batch exponent upload whose variable tunnel bandwidth
     gated encrypt throughput."""
     wb = _device_obf_bytes(seed, mask, m_a.shape[0])
@@ -528,14 +530,24 @@ def encrypt_fb_fused_rng_stage(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("B", "interpret"))
-def rns_fb_modexp_rng_stage(planes, seed, mask, kc, B, interpret=False):
-    """rns_fb_modexp_stage (mont_out) with device-generated exponents —
-    the apply_obfuscator twin of encrypt_fb_fused_rng_stage."""
-    wb = _device_obf_bytes(seed, mask, B)
-    return rns_fb_modexp_stage(
+@_rjit
+def obfuscate_fb_fused_rng_stage(
+    planes, seed, mask, ct, kc, conv, n2_n, interpret=False
+):
+    """apply_obfuscator in ONE jitted program: on-device exponent
+    expansion + fixed-base kernel (mont_out) + the obfuscation multiply
+    + finalize (the encrypt_fb_fused_rng_stage twin for existing
+    ciphertexts, ipcl/pub_key.cpp:82-90)."""
+    from .rns import limbs_to_rns, rns_mont_mul
+
+    wb = _device_obf_bytes(seed, mask, ct.shape[0])
+    res = rns_fb_modexp_stage(
         planes, wb, kc, interpret=interpret, mont_out=True
     )
+    L2 = n2_n.shape[-1]
+    ra = limbs_to_rns(ct, conv)
+    out = rns_mont_mul(ra, res, conv)  # ct*obf, value < 3N
+    return _rns_finalize(out, conv, n2_n, L2)
 
 
 @_rjit

@@ -132,6 +132,22 @@ def test_context_mesh_shards_public_api(rng):
     assert k.priv_key.decrypt(m3).texts == [3 * v for v in vals]
 
 
+def test_mesh_obfuscators_independent_across_shards(rng):
+    """Under a sharded mesh the on-device ChaCha20 DRBG gets one seed row
+    PER DEVICE (engine._seed_rows): encrypting the same plaintext in
+    every row must yield pairwise-distinct ciphertexts — a replicated
+    seed would repeat identical obfuscator blocks shard-for-shard."""
+    ctx = pctx.initialize_context(mesh_devices=8)
+    k = ptpu.generate_keypair(256, enable_DJN=True)
+    for e in (k.pub_key._engine, k.priv_key._engine):
+        e.backend = "rns_interpret"
+    vals = [7] * 16  # identical plaintext, 2 rows per shard
+    ct = k.pub_key.encrypt(ptpu.PlainText(vals))
+    texts = ct.texts
+    assert len(set(texts)) == len(texts)
+    assert k.priv_key.decrypt(ct).texts == vals
+
+
 def test_context_idempotent_and_terminates():
     c1 = pctx.initialize_context("CPU")
     c2 = pctx.initialize_context("DEFAULT")  # idempotent: keeps the first
