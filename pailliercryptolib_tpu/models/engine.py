@@ -434,12 +434,14 @@ class PublicEngine(_EngineCommon):
     # entry points apply the hybrid split, then forward to the _impl
     # pipelines.
 
-    def _seed_fallback(self, r, size: int, op: str):
-        """Materialize a DeviceSeed into host bytes for paths that cannot
+    def _seed_fallback(self, r, size: int, op: str, normal: bool = False):
+        """Materialize a DeviceSeed into a host draw for paths that cannot
         expand on device: hybrid batch splits (the seed cannot be row-
         sliced) and non-RNS backends.  Sharded meshes DO expand on
         device — each shard gets its own seed row (_seed_rows), so
-        shards draw independent ChaCha20 keystreams."""
+        shards draw independent ChaCha20 keystreams.  ``normal`` draws
+        normal-mode obfuscator bases r in [1, n-1] instead of DJN
+        exponent bytes."""
         from ..ops.dispatch import hybrid_head_count
         from ..utils.rng import DeviceSeed
 
@@ -449,6 +451,13 @@ class PublicEngine(_EngineCommon):
             not _is_rns(self.backend)
             or hybrid_head_count(op, size, self.backend) < size
         ):
+            if normal:
+                from ..utils import rng as _rng
+
+                return [
+                    v % (self.n - 1) + 1
+                    for v in _rng.batch_random_bits(size, self.nbits)
+                ]
             return r.materialize(size, self.randbits)
         return r
 
@@ -558,17 +567,31 @@ class PublicEngine(_EngineCommon):
         return DevLimbs(out, size)
 
     @_perf("encrypt_normal")
-    def encrypt_normal_dev(self, m: Sequence[int], r: Sequence[int]) -> DevLimbs:
+    def encrypt_normal_dev(self, m: Sequence[int], r) -> DevLimbs:
+        r = self._seed_fallback(r, len(m), "encrypt", normal=True)
         out = self._hybrid("encrypt", "_encrypt_normal_impl", len(m), (m, r))
         return out if out is not None else self._encrypt_normal_impl(m, r)
 
     def _encrypt_normal_impl(self, m, r) -> DevLimbs:
+        from ..utils.rng import DeviceSeed
+
         size = len(m)
         m_p = self._pad(m, 0)
-        r_p = self._pad(r, 1)
         m_a = self._upload_narrow(m_p)
-        r_a = self._up_arr(ints_to_limbs(r_p, self.L2))
         n2_n, n2_n0inv, n2_r2, n2_one = self.n2_args
+        if isinstance(r, DeviceSeed):  # rns backend guaranteed by fallback
+            _, kc, conv = self.rns
+            interp = _rns_interp(self.backend)
+            # ONE jitted program: on-device unreduced base generation
+            # ((r + kn)^n ≡ r^n mod n^2) + shared-exponent kernel + post
+            out = self._stage(
+                pops.encrypt_normal_rng_stage, (0, 1),
+                ebits=2 * self.nbits + 3, interpret=interp,
+            )(self._seed_rows(r), m_a, self.n_wins, self.n_limbs,
+              kc, conv, n2_n)
+            return DevLimbs(out, size)
+        r_p = self._pad(r, 1)
+        r_a = self._up_arr(ints_to_limbs(r_p, self.L2))
         if _is_rns(self.backend):
             _, kc, conv = self.rns
             interp = _rns_interp(self.backend)

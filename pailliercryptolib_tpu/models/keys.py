@@ -113,16 +113,19 @@ class PublicKey:
         m = [v % self.n for v in pt.texts]
         if not make_secure:
             return CipherText(self, self._engine.encrypt_noobf_dev(m))
-        r = self._draw_randoms(size)
+        r = self._draw_randoms(size, op="encrypt")
         if self.enable_djn_flag:
             ct = self._engine.encrypt_djn_dev(m, r)
         else:
             ct = self._engine.encrypt_normal_dev(m, r)
         return CipherText(self, ct)
 
-    def _draw_randoms(self, size: int):
+    def _draw_randoms(self, size: int, op: str = "encrypt"):
         """Obfuscator randoms: injected test values (consumed FIFO) or a
-        CSPRNG draw (ipcl/pub_key.cpp:56-77)."""
+        CSPRNG draw (ipcl/pub_key.cpp:56-77).  Fresh draws are a
+        DeviceSeed (on-device ChaCha20 expansion) on the paths the
+        engines support on device: DJN always, normal-mode for
+        ``op="encrypt"``."""
         if self._testv:
             if len(self._test_r) < size:
                 raise ValueError("setRandom: not enough injected obfuscator values")
@@ -133,10 +136,12 @@ class PublicKey:
             return r
         if self.enable_djn_flag:
             if _rng.use_device_rng():
-                # 16-byte seed, expanded on device (utils/rng.DeviceSeed)
+                # 44-byte seed, expanded on device (utils/rng.DeviceSeed)
                 return _rng.DeviceSeed()
             # bytes-direct CSPRNG draw (the fixed-base kernel's wire format)
             return _rng.batch_random_bytes(size, self.randbits)
+        if op == "encrypt" and _rng.use_device_rng():
+            return _rng.DeviceSeed()
         # r uniform in [1, n-1] (ipcl/pub_key.cpp:74-77)
         return [v % (self.n - 1) + 1 for v in _rng.batch_random_bits(size, self.bits)]
 
@@ -147,7 +152,7 @@ class PublicKey:
         same plaintext; the randomness is fresh (or injected via set_random)."""
         if len(ct) == 0:
             raise ValueError("applyObfuscator: empty CipherText")
-        r = self._draw_randoms(len(ct))
+        r = self._draw_randoms(len(ct), op="obfuscate")
         out = self._engine.obfuscate_dev(ct.device_payload(), r)
         return CipherText(self, out)
 

@@ -22,6 +22,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .bigint import (
     add_scalar,
@@ -528,6 +529,68 @@ def encrypt_fb_fused_rng_stage(
     return encrypt_fb_fused_stage(
         planes, wb, m_a, n_limbs, kc, conv, n2_n, interpret=interpret
     )
+
+
+def _bytes_to_limbs_dev(by, L):
+    """[B, nbytes] uint8 -> [B, L] canonical 15-bit limbs on device.
+
+    Limb l covers bits [15l, 15l+15): three source bytes gathered by
+    per-limb column indices, combined with the per-limb shift."""
+    nbytes = by.shape[-1]
+    ll = np.arange(L)
+    i0 = (15 * ll) // 8
+    sh = jnp.asarray((15 * ll) % 8, _U32)
+    pad = jnp.zeros(by.shape[:-1] + (2,), by.dtype)
+    bp = jnp.concatenate([by, pad], axis=-1).astype(_U32)
+    b0 = jnp.take(bp, jnp.asarray(np.minimum(i0, nbytes + 1)), axis=-1)
+    b1 = jnp.take(bp, jnp.asarray(np.minimum(i0 + 1, nbytes + 1)), axis=-1)
+    b2 = jnp.take(bp, jnp.asarray(np.minimum(i0 + 2, nbytes + 1)), axis=-1)
+    word = b0 | (b1 << _U32(8)) | (b2 << _U32(16))
+    return (word >> sh[None, :]) & _U32((1 << 15) - 1)
+
+
+@functools.partial(jax.jit, static_argnames=("ebits", "interpret"))
+def encrypt_normal_rng_stage(
+    seed, m_a, n_wins, n_limbs, kc, conv, n2_n, ebits, interpret=False
+):
+    """Normal-mode (non-DJN) encrypt in ONE jitted program with the
+    obfuscator base generated ON DEVICE: ct = (n*m+1) * r^n mod n^2
+    (ipcl/pub_key.cpp:66-80,99-110).
+
+    The base is an UNREDUCED uniform r'' of ``ebits`` = 2*|n|+3 bits
+    from the ChaCha20 keystream: (r + k*n)^n ≡ r^n (mod n^2) for any k
+    (the j>=1 binomial terms carry n^2), so r'' acts exactly as
+    r'' mod n drawn uniformly (bias ~2^-(|n|+3)) — no modular reduction
+    and no ~2 MB host upload of base limbs.  r'' < 2^(2|n|+3) < M_A/2
+    (the quantized target gives M_A >= 2^(2|n|+4)), so the kernel's
+    first to-Montgomery multiply absorbs it: out < N/2 + 2N < 3N."""
+    B = m_a.shape[0]
+    L2 = n2_n.shape[-1]
+    nbytes = -(-ebits // 8)
+    total = B * nbytes
+    ks = _chacha20_blocks(seed[0, :8], seed[0, 8:11], -(-total // 64))
+    by = ks.reshape(-1)[:total].reshape(B, nbytes)
+    top = ebits % 8
+    if top:
+        mask = np.full((nbytes,), 0xFF, np.uint8)
+        mask[-1] = (1 << top) - 1
+        by = by & jnp.asarray(mask)[None, :]
+    r_a = _bytes_to_limbs_dev(by, L2)
+    # fusion barrier: without it, XLA:CPU fuses the gather/shift limb
+    # producer into the interpreted kernel's bf16 dot operands and the
+    # thunk runtime rejects the fused BF16xBF16=F32 dot (interpret-mode
+    # tests); a no-op on TPU
+    r_a = jax.lax.optimization_barrier(r_a)
+    res = pallas_rns_modexp2(
+        r_a[None], n_wins, kc, shared=True, streams=2, interpret=interpret
+    )[0]
+    from .rns import limbs_to_rns, rns_mont_mul
+
+    raw = _raw_encrypt(m_a, n_limbs, L2)
+    raw_res = limbs_to_rns(raw, conv)
+    t = rns_mont_mul(raw_res, conv["mont_sq"][None, :], conv)  # raw*MA
+    ct_res = rns_mont_mul(t, res, conv)  # raw*obf, value < 3N
+    return _rns_finalize(ct_res, conv, n2_n, L2)
 
 
 @_rjit
