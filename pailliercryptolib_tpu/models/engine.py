@@ -498,7 +498,7 @@ class PublicEngine(_EngineCommon):
         """``r`` is a list of ints (injected test randoms), a [B, nbytes]
         uint8 array from the OS CSPRNG (utils/rng.batch_random_bytes), or
         a utils/rng.DeviceSeed — the fast path expands the seed on
-        device, so fresh-obfuscator encryption uploads 16 bytes instead
+        device, so fresh-obfuscator encryption uploads 44 seed bytes per shard instead
         of the full exponent byte matrix."""
         from ..utils.rng import DeviceSeed
 

@@ -408,19 +408,12 @@ def rns_finalize_stage(res, conv, n_limbs, out_limbs):
     return _rns_finalize(res, conv, n_limbs, out_limbs)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "res_mont"))
-def encrypt_post_stage(
-    res, m_a, n_limbs, conv, n2_n, n2_n0inv, n2_r2, interpret=False,
-    res_mont=False,
-):
-    """Encrypt tail in ONE dispatch: plaintext embedding (n*m+1) and the
-    obfuscation multiply, entirely in RNS — the obfuscator arrives as
-    residues from the modexp kernel, so multiplying in residue space
-    (XLA-level RNS Montgomery products on the MXU) replaces the
-    residue->limb conversion AND the serial CIOS modular multiply
-    (~5 ms/2048-batch at 4096-bit).  With ``res_mont`` the kernel left
-    the obfuscator in Montgomery form (mont_out), so the obfuscation
-    multiply doubles as the leave-Montgomery multiply: ONE product."""
+def _encrypt_post(res, m_a, n_limbs, conv, n2_n, res_mont):
+    """The shared encrypt tail: plaintext embedding (n*m+1) and the
+    obfuscation multiply, entirely in RNS.  With ``res_mont`` the kernel
+    left the obfuscator in Montgomery form (mont_out), so the
+    obfuscation multiply doubles as the leave-Montgomery multiply: ONE
+    product."""
     from .rns import limbs_to_rns, rns_mont_mul
 
     L2 = n2_n.shape[-1]
@@ -432,6 +425,19 @@ def encrypt_post_stage(
         t = rns_mont_mul(raw_res, conv["mont_sq"][None, :], conv)  # raw*MA
         ct_res = rns_mont_mul(t, res, conv)  # raw*obf, value < 3N
     return _rns_finalize(ct_res, conv, n2_n, L2)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "res_mont"))
+def encrypt_post_stage(
+    res, m_a, n_limbs, conv, n2_n, n2_n0inv, n2_r2, interpret=False,
+    res_mont=False,
+):
+    """Encrypt tail in ONE dispatch (see _encrypt_post): the obfuscator
+    arrives as residues from the modexp kernel, so multiplying in
+    residue space (XLA-level RNS Montgomery products on the MXU)
+    replaces the residue->limb conversion AND the serial CIOS modular
+    multiply (~5 ms/2048-batch at 4096-bit)."""
+    return _encrypt_post(res, m_a, n_limbs, conv, n2_n, res_mont)
 
 
 def _rotl(x, r):
@@ -510,11 +516,14 @@ def _device_obf_bytes(seed, mask, B):
     independent keystreams.  ``mask`` [NP] uint8 zeroes bytes beyond
     randbits and trims the top byte when randbits % 8 != 0."""
     NP = mask.shape[-1]
-    total = B * NP
-    nblocks = -(-total // 64)
-    ks = _chacha20_blocks(seed[0, :8], seed[0, 8:11], nblocks)
-    flat = ks.reshape(-1)[:total]
-    return flat.reshape(B, NP) & mask[None, :]
+    return _chacha_bytes(seed, B, NP) & mask[None, :]
+
+
+def _chacha_bytes(seed, B, nbytes):
+    """[B, nbytes] uint8 from the ChaCha20 keystream keyed by seed row 0."""
+    total = B * nbytes
+    ks = _chacha20_blocks(seed[0, :8], seed[0, 8:11], -(-total // 64))
+    return ks.reshape(-1)[:total].reshape(B, nbytes)
 
 
 @_rjit
@@ -567,9 +576,7 @@ def encrypt_normal_rng_stage(
     B = m_a.shape[0]
     L2 = n2_n.shape[-1]
     nbytes = -(-ebits // 8)
-    total = B * nbytes
-    ks = _chacha20_blocks(seed[0, :8], seed[0, 8:11], -(-total // 64))
-    by = ks.reshape(-1)[:total].reshape(B, nbytes)
+    by = _chacha_bytes(seed, B, nbytes)
     top = ebits % 8
     if top:
         mask = np.full((nbytes,), 0xFF, np.uint8)
@@ -584,13 +591,7 @@ def encrypt_normal_rng_stage(
     res = pallas_rns_modexp2(
         r_a[None], n_wins, kc, shared=True, streams=2, interpret=interpret
     )[0]
-    from .rns import limbs_to_rns, rns_mont_mul
-
-    raw = _raw_encrypt(m_a, n_limbs, L2)
-    raw_res = limbs_to_rns(raw, conv)
-    t = rns_mont_mul(raw_res, conv["mont_sq"][None, :], conv)  # raw*MA
-    ct_res = rns_mont_mul(t, res, conv)  # raw*obf, value < 3N
-    return _rns_finalize(ct_res, conv, n2_n, L2)
+    return _encrypt_post(res, m_a, n_limbs, conv, n2_n, res_mont=False)
 
 
 @_rjit
@@ -601,16 +602,11 @@ def obfuscate_fb_fused_rng_stage(
     expansion + fixed-base kernel (mont_out) + the obfuscation multiply
     + finalize (the encrypt_fb_fused_rng_stage twin for existing
     ciphertexts, ipcl/pub_key.cpp:82-90)."""
-    from .rns import limbs_to_rns, rns_mont_mul
-
     wb = _device_obf_bytes(seed, mask, ct.shape[0])
     res = rns_fb_modexp_stage(
         planes, wb, kc, interpret=interpret, mont_out=True
     )
-    L2 = n2_n.shape[-1]
-    ra = limbs_to_rns(ct, conv)
-    out = rns_mont_mul(ra, res, conv)  # ct*obf, value < 3N
-    return _rns_finalize(out, conv, n2_n, L2)
+    return _mul_res_post(ct, res, conv, n2_n, res_mont=True)
 
 
 @_rjit
@@ -625,19 +621,13 @@ def encrypt_fb_fused_stage(
     program is a round trip to the remote compile service, whose
     documented stalls dominate first-encrypt latency (VERDICT r4 item 1).
     """
-    from .rns import limbs_to_rns, rns_mont_mul
-
     B = win_bytes.shape[0]
     bt = 256 if B % 256 == 0 else 128
     res = pallas_fb_modexp2(
         *planes, win_bytes[None], kc, interpret=interpret,
         batch_tile=bt, streams=4 if bt == 256 else 2, mont_out=True,
     )[0]
-    L2 = n2_n.shape[-1]
-    raw = _raw_encrypt(m_a, n_limbs, L2)
-    raw_res = limbs_to_rns(raw, conv)
-    ct_res = rns_mont_mul(raw_res, res, conv)  # raw*obf, value < 3N
-    return _rns_finalize(ct_res, conv, n2_n, L2)
+    return _encrypt_post(res, m_a, n_limbs, conv, n2_n, res_mont=True)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "res_mont"))
@@ -646,6 +636,10 @@ def mul_res_post_stage(ct, res, conv, n2_n, interpret=False, res_mont=False):
     mod n^2 — the obfuscation multiply with the limb->RNS conversion of
     the second operand already paid (used by apply_obfuscator).
     ``res_mont`` as in encrypt_post_stage."""
+    return _mul_res_post(ct, res, conv, n2_n, res_mont)
+
+
+def _mul_res_post(ct, res, conv, n2_n, res_mont):
     from .rns import limbs_to_rns, rns_mont_mul
 
     L2 = n2_n.shape[-1]

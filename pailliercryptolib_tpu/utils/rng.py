@@ -35,8 +35,9 @@ class DeviceSeed:
     Engines evaluate an RFC 8439 ChaCha20 keystream on the accelerator
     (ops/paillier_ops._chacha20_blocks) — a vetted CSPRNG construction,
     deliberately NOT jax.random (whose generators are documented as
-    non-cryptographic).  Paths that cannot expand on device (hybrid
-    batch splits, sharded meshes, non-RNS backends) call
+    non-cryptographic).  Sharded meshes expand on device too, one seed
+    row per shard (models/engine._seed_rows).  Paths that cannot expand
+    on device (hybrid batch splits, non-RNS backends) call
     :meth:`materialize` for an equivalent fresh host draw instead."""
 
     __slots__ = ("data",)

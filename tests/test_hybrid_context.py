@@ -146,6 +146,15 @@ def test_mesh_obfuscators_independent_across_shards(rng):
     texts = ct.texts
     assert len(set(texts)) == len(texts)
     assert k.priv_key.decrypt(ct).texts == vals
+    # the normal-mode (non-DJN) seed stage binds a static kwarg (ebits)
+    # through shard_stage: same independence property, same mesh
+    kn = ptpu.generate_keypair(256, enable_DJN=False)
+    for e in (kn.pub_key._engine, kn.priv_key._engine):
+        e.backend = "rns_interpret"
+    ctn = kn.pub_key.encrypt(ptpu.PlainText(vals))
+    tn = ctn.texts
+    assert len(set(tn)) == len(tn)
+    assert kn.priv_key.decrypt(ctn).texts == vals
 
 
 def test_context_idempotent_and_terminates():
