@@ -299,10 +299,12 @@ def decrypt_crt_rns_op(
         )
         res_rns = unfold_rns_out(res_f, k)
     else:
-        # 256-row tiles with 8 streams measure ~6% faster than 128/4 at
-        # full batch on a v5e (benchmarks/results: 29.5 vs 31.3 ms/2048);
-        # batches only tile-aligned to 128 (or wide lane layouts, same
-        # scoped-VMEM argument as the folded branch) keep 128/4.
+        # grouped layout (wide keys, engine.rns_crt "auto"): 256-row
+        # tiles with 4 streams measure fastest at 4096-bit/full batch on
+        # a v5e (92.1 ms vs 99.3 at s=8, 93.4 at s=2 —
+        # benchmarks/results/profile_r5_v5e.jsonl); batches only
+        # tile-aligned to 128 (or lane layouts whose window tables
+        # exceed the scoped-VMEM budget, as the folded branch) keep 128.
         k1 = kc2["sig0"].shape[-1]
         tab_bytes = 16 * 256 * (2 * k1 + 1) * 4
         bt = 256 if B % 256 == 0 and tab_bytes <= 12 * 2**20 else 128
@@ -310,7 +312,7 @@ def decrypt_crt_rns_op(
         bases = jnp.broadcast_to(ct[None], (two,) + ct.shape)
         res_rns = pallas_rns_modexp2(
             bases, exp_wins[:, 0], kc2, shared=True,
-            streams=8 if bt == 256 else 4, batch_tile=bt,
+            streams=4, batch_tile=bt,
             interpret=interpret,
         )
     res = jax.vmap(_rns_finalize, in_axes=(0, 0, 0, None))(

@@ -105,3 +105,26 @@ def test_chacha20_rfc8439_vector():
         "d2826446079faa0914c2d705d98b02a2b5129cd1de164eb9cbd083e8a2503c4e"
     )
     assert ks[1].tobytes().hex() == want
+
+
+def test_engine_grouped_decrypt_layout(rng):
+    """PAILLIER_TPU_DECRYPT_LAYOUT=grouped (the wide-key auto choice and
+    the A/B knob) through the engine: roundtrip-correct in interpret
+    mode with the production streams=4 configuration."""
+    import os
+
+    import pailliercryptolib_tpu as ptpu
+
+    key = ptpu.generate_keypair(256, enable_DJN=True)
+    for e in (key.pub_key._engine, key.priv_key._engine):
+        e.backend = "rns_interpret"
+    vals = [rng.getrandbits(32) for _ in range(4)]
+    ct = key.pub_key.encrypt(ptpu.PlainText(vals))
+    os.environ["PAILLIER_TPU_DECRYPT_LAYOUT"] = "grouped"
+    try:
+        key.priv_key._engine._rns_crt = None
+        kc2, _ = key.priv_key._engine.rns_crt
+        assert "maskB" not in kc2  # grouped, not folded
+        assert key.priv_key.decrypt(ct).texts == vals
+    finally:
+        del os.environ["PAILLIER_TPU_DECRYPT_LAYOUT"]
